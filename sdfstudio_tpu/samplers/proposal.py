@@ -1,0 +1,81 @@
+"""Proposal-network sampler (mip-NeRF-360 / nerfacto / neus-facto).
+
+Functional spec: reference nerfstudio/model_components/ray_samplers.py:497-578.
+The stateful step/update-schedule bookkeeping becomes two traced scalars:
+``anneal`` (weight annealing, set by the model's schedule of step) and
+``train_proposal`` (whether gradients flow into the proposal density fns this
+step — the reference toggles torch.no_grad via its update_sched; here a
+``jnp.where(updated, w, stop_grad(w))`` selects the gradient path without
+retracing).
+"""
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdfstudio_tpu.core.rays import RayBundle, RaySamples
+from sdfstudio_tpu.ops.render import weights_from_densities
+from sdfstudio_tpu.samplers.pdf import pdf_sampler
+from sdfstudio_tpu.samplers.spaced import (
+    uniform_lindisp_piecewise_sampler,
+    uniform_sampler,
+)
+
+
+def proposal_network_sampler(
+    ray_bundle: RayBundle,
+    density_fns: Sequence[Callable[[jnp.ndarray], jnp.ndarray]],  # positions -> density
+    rng: Optional[jax.Array] = None,
+    num_proposal_samples_per_ray: Tuple[int, ...] = (64,),
+    num_nerf_samples_per_ray: int = 32,
+    num_proposal_network_iterations: int = 2,
+    use_uniform_sampler: bool = False,
+    single_jitter: bool = False,
+    anneal: jnp.ndarray | float = 1.0,
+    train_proposal: jnp.ndarray | bool = True,
+) -> Tuple[RaySamples, List[jnp.ndarray], List[RaySamples]]:
+    """N rounds of density evaluation + PDF resampling
+    (reference ray_samplers.py:537-578). Returns
+    (final samples, weights_list, ray_samples_list) for the interlevel loss."""
+    n = num_proposal_network_iterations
+    assert len(density_fns) >= n
+    rngs = list(jax.random.split(rng, n + 1)) if rng is not None else [None] * (n + 1)
+
+    weights_list: List[jnp.ndarray] = []
+    ray_samples_list: List[RaySamples] = []
+    weights = None
+    ray_samples = None
+    updated = jnp.asarray(train_proposal)
+
+    for i_level in range(n + 1):
+        is_prop = i_level < n
+        num_samples = (
+            num_proposal_samples_per_ray[i_level] if is_prop else num_nerf_samples_per_ray
+        )
+        if i_level == 0:
+            sampler = uniform_sampler if use_uniform_sampler else uniform_lindisp_piecewise_sampler
+            ray_samples = sampler(
+                ray_bundle, num_samples, rng=rngs[i_level], single_jitter=single_jitter
+            )
+        else:
+            annealed_weights = jnp.power(weights, anneal)
+            ray_samples = pdf_sampler(
+                ray_bundle,
+                ray_samples,
+                annealed_weights,
+                num_samples=num_samples,
+                rng=rngs[i_level],
+                single_jitter=single_jitter,
+                include_original=False,
+            )
+        if is_prop:
+            density = density_fns[i_level](ray_samples.get_positions())  # [R, S]
+            # gradient gate replacing the reference's no_grad toggle
+            density = jnp.where(updated, density, jax.lax.stop_gradient(density))
+            weights = weights_from_densities(ray_samples.deltas, density)
+            weights_list.append(weights)
+            ray_samples_list.append(ray_samples)
+
+    return ray_samples, weights_list, ray_samples_list

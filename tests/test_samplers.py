@@ -1,0 +1,170 @@
+"""Sampler unit tests (modelled on reference tests/model_components/test_ray_sampler.py
+plus golden checks of the sampling math)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdfstudio_tpu.core.rays import RayBundle
+from sdfstudio_tpu.samplers.error_bounded import error_bounded_sampler
+from sdfstudio_tpu.samplers.neus import neus_sampler
+from sdfstudio_tpu.samplers.pdf import merge_ray_samples, pdf_sampler
+from sdfstudio_tpu.samplers.proposal import proposal_network_sampler
+from sdfstudio_tpu.samplers.spaced import (
+    linear_disparity_sampler,
+    uniform_lindisp_piecewise_sampler,
+    uniform_sampler,
+)
+from sdfstudio_tpu.samplers.unisurf import unisurf_sampler
+from sdfstudio_tpu.ops.density import laplace_density, unisurf_occupancy
+
+
+def make_bundle(R=8, near=1.0, far=4.0):
+    origins = jnp.zeros((R, 3)).at[:, 2].set(-2.0)
+    directions = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (R, 1))
+    return RayBundle(
+        origins=origins,
+        directions=directions,
+        pixel_area=jnp.ones((R, 1)) * 1e-6,
+        nears=jnp.full((R, 1), near),
+        fars=jnp.full((R, 1), far),
+        camera_indices=jnp.zeros((R,), jnp.int32),
+    )
+
+
+def test_uniform_sampler_positions():
+    rb = make_bundle()
+    rs = uniform_sampler(rb, 16, rng=None)
+    assert rs.starts.shape == (8, 16)
+    np.testing.assert_allclose(float(rs.starts[0, 0]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(rs.ends[0, -1]), 4.0, atol=1e-6)
+    # equally spaced
+    d = np.diff(np.asarray(rs.starts[0]))
+    np.testing.assert_allclose(d, d[0], rtol=1e-5)
+    # spacing_to_euclidean roundtrip
+    np.testing.assert_allclose(
+        np.asarray(rs.spacing_to_euclidean(rs.spacing_starts)),
+        np.asarray(rs.starts),
+        rtol=1e-5,
+    )
+
+
+def test_uniform_sampler_stratified_within_bins():
+    rb = make_bundle()
+    rs = uniform_sampler(rb, 32, rng=jax.random.PRNGKey(0))
+    s = np.asarray(rs.starts)
+    assert np.all(np.diff(s, axis=-1) > 0)  # still sorted
+    assert np.all(s >= 1.0 - 1e-6) and np.all(s <= 4.0 + 1e-6)
+
+
+def test_lindisp_sampler_warp():
+    rb = make_bundle(near=1.0, far=4.0)
+    rs = linear_disparity_sampler(rb, 10, rng=None)
+    # disparity-uniform: 1/t evenly spaced
+    disp = 1.0 / np.asarray(rs.starts[0])
+    np.testing.assert_allclose(np.diff(disp), np.diff(disp)[0], rtol=1e-4)
+
+
+def test_piecewise_sampler_bounds():
+    rb = make_bundle(near=0.5, far=100.0)
+    rs = uniform_lindisp_piecewise_sampler(rb, 24, rng=None)
+    s = np.asarray(rs.starts)
+    assert s.min() >= 0.5 - 1e-4 and np.asarray(rs.ends).max() <= 100.0 + 1e-2
+
+
+def test_pdf_sampler_concentrates_mass():
+    rb = make_bundle()
+    rs = uniform_sampler(rb, 64, rng=None)
+    # all weight in bin 32
+    weights = jnp.zeros((8, 64)).at[:, 32].set(1.0)
+    out = pdf_sampler(rb, rs, weights, num_samples=16, rng=None, include_original=False,
+                      histogram_padding=0.0)
+    mids = np.asarray((out.starts + out.ends) / 2)
+    lo = float(rs.starts[0, 32])
+    hi = float(rs.ends[0, 32])
+    frac_inside = np.mean((mids >= lo - 0.1) & (mids <= hi + 0.1))
+    assert frac_inside > 0.8
+
+
+def test_merge_ray_samples_sorted_and_gatherable():
+    rb = make_bundle()
+    s1 = uniform_sampler(rb, 8, rng=None)
+    s2 = uniform_sampler(rb, 4, rng=jax.random.PRNGKey(1))
+    merged, idx = merge_ray_samples(rb, s1, s2)
+    assert merged.starts.shape == (8, 12)
+    assert np.all(np.diff(np.asarray(merged.spacing_starts), axis=-1) >= 0)
+    # sdf-cache reuse: gather of concatenated per-sample values lands sorted
+    vals = jnp.concatenate([s1.spacing_starts, s2.spacing_starts], axis=-1)
+    gathered = jnp.take_along_axis(vals, idx, axis=-1)
+    np.testing.assert_allclose(np.asarray(gathered), np.asarray(merged.spacing_starts), rtol=1e-6)
+
+
+def _sphere_sdf_fn(samples):
+    pts = samples.get_start_positions()
+    return jnp.linalg.norm(pts, axis=-1) - 0.7
+
+
+def test_neus_sampler_concentrates_near_surface():
+    rb = make_bundle()
+    rs = neus_sampler(rb, _sphere_sdf_fn, rng=jax.random.PRNGKey(0))
+    assert rs.starts.shape == (8, 64 + 64)
+    pts = np.asarray(rs.get_start_positions())
+    sdf = np.linalg.norm(pts, axis=-1) - 0.7
+    # at least the importance half should cluster near the two crossings
+    frac_near = np.mean(np.abs(sdf) < 0.25)
+    assert frac_near > 0.35
+
+
+def test_error_bounded_sampler_runs_and_shapes():
+    rb = make_bundle()
+
+    def density_fn(sdf, beta):
+        return laplace_density(sdf, beta)
+
+    rs, eik = error_bounded_sampler(
+        rb,
+        density_fn,
+        _sphere_sdf_fn,
+        beta0=jnp.asarray(0.1),
+        rng=jax.random.PRNGKey(0),
+        max_total_iters=2,
+    )
+    assert rs.starts.shape == (8, 64 + 32)
+    assert eik.shape == (80, 3)
+    pts = np.asarray(rs.get_start_positions())
+    sdf = np.linalg.norm(pts, axis=-1) - 0.7
+    assert np.mean(np.abs(sdf) < 0.3) > 0.3
+
+
+def test_unisurf_sampler_finds_surface():
+    rb = make_bundle()
+    rs, surface = unisurf_sampler(
+        rb,
+        unisurf_occupancy,
+        _sphere_sdf_fn,
+        delta=jnp.asarray(0.05),
+        rng=jax.random.PRNGKey(0),
+    )
+    assert rs.starts.shape == (8, 64 + 32 + 32)
+    assert bool(jnp.all(surface.mask))
+    # ray along +z from z=-2 hits sphere r=0.7 at depth 2 - 0.7 = 1.3
+    np.testing.assert_allclose(np.asarray(surface.depth), 1.3, atol=0.02)
+    np.testing.assert_allclose(np.asarray(surface.points[:, 2]), -0.7, atol=0.02)
+
+
+def test_proposal_sampler_shapes_and_lists():
+    rb = make_bundle()
+
+    def density_fn(pts):
+        return jnp.exp(-jnp.linalg.norm(pts, axis=-1))
+
+    samples, wlist, slist = proposal_network_sampler(
+        rb,
+        [density_fn, density_fn],
+        rng=jax.random.PRNGKey(0),
+        num_proposal_samples_per_ray=(64, 32),
+        num_nerf_samples_per_ray=16,
+        num_proposal_network_iterations=2,
+    )
+    assert samples.starts.shape == (8, 16)
+    assert len(wlist) == 2 and len(slist) == 2
+    assert wlist[0].shape == (8, 64) and wlist[1].shape == (8, 32)
