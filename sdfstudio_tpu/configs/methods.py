@@ -1,0 +1,490 @@
+"""Method registry: named configurations with full hyperparameters.
+
+Functional spec: reference nerfstudio/configs/method_configs.py:79-1172.
+Hyperparameters mirror the reference entries line-for-line (sources cited
+per method). Methods whose models are not yet ported raise at build time
+with a clear message.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+from sdfstudio_tpu.cameras.camera_optimizers import CameraOptimizerConfig
+from sdfstudio_tpu.configs.base import Config
+from sdfstudio_tpu.data.datamanager import DataManagerConfig
+from sdfstudio_tpu.data.dataparsers.sdfstudio import SDFStudioDataParserConfig, SDFStudio
+from sdfstudio_tpu.engine.optimizers import (
+    OptimizerConfig,
+    OptimizerGroupConfig,
+)
+from sdfstudio_tpu.engine.schedulers import SchedulerConfig
+from sdfstudio_tpu.engine.trainer import TrainerConfig
+from sdfstudio_tpu.fields.sdf_field import SDFFieldConfig
+from sdfstudio_tpu.models.bakedangelo import BakedAngeloModel, BakedAngeloModelConfig
+from sdfstudio_tpu.models.bakedsdf import BakedSDFFactoModel, BakedSDFModelConfig
+from sdfstudio_tpu.models.neuralangelo import NeuralangeloModel, NeuralangeloModelConfig
+from sdfstudio_tpu.models.neus import NeuSModel, NeuSModelConfig
+from sdfstudio_tpu.models.neus_facto import NeuSFactoModel, NeuSFactoModelConfig
+from sdfstudio_tpu.models.unisurf import UniSurfModel, UniSurfModelConfig
+from sdfstudio_tpu.models.volsdf import VolSDFModel, VolSDFModelConfig
+
+method_configs: Dict[str, Config] = {}
+
+descriptions = {
+    "neus": "Implementation of NeuS.",
+    "volsdf": "Implementation of VolSDF.",
+    "monosdf": "Implementation of MonoSDF.",
+    "mono-neus": "MonoSDF with NeuS rendering formulation.",
+    "geo-neus": "Patch warping from Geo-NeuS with NeuS.",
+    "geo-volsdf": "Patch warping from Geo-NeuS with VolSDF.",
+    "unisurf": "Implementation of UniSurf.",
+    "mono-unisurf": "MonoSDF with unisurf rendering formulation.",
+    "geo-unisurf": "Patch warping from Geo-NeuS with UniSurf.",
+    "neus-facto": "NeuS with proposal-network sampling (recommended).",
+    "neus-facto-bigmlp": "NeuS-facto with a big MLP (heritage-scale).",
+    "neus-facto-angelo": "Neuralangelo hash field with neus-facto sampling.",
+    "neuralangelo": "Implementation of Neuralangelo.",
+    "bakedsdf": "BakedSDF with multi-res hash grids.",
+    "bakedsdf-mlp": "BakedSDF with large MLPs.",
+    "bakedangelo": "Neuralangelo with BakedSDF.",
+    "neus-acc": "NeuS with empty-space skipping.",
+    "nerfacto": "Recommended density model for real captures.",
+    "instant-ngp": "Occupancy-grid accelerated NeRF.",
+    "vanilla-nerf": "Original NeRF.",
+    "mipnerf": "Mip-NeRF (IPE) model.",
+    "tensorf": "TensoRF model.",
+}
+
+
+def _adam(lr, eps=1e-15, weight_decay=0.0, kind="adam"):
+    return OptimizerConfig(kind=kind, lr=lr, eps=eps, weight_decay=weight_decay)
+
+
+def _neus_sched(warm_up_end=5000, alpha=0.05, max_steps=300000):
+    return SchedulerConfig(
+        kind="neus", warm_up_end=warm_up_end, learning_rate_alpha=alpha, max_steps=max_steps
+    )
+
+
+def _multistep(max_steps):
+    return SchedulerConfig(kind="multistep", max_steps=max_steps)
+
+
+def _multistep_warmup(warm_up_end, milestones, gamma=0.1):
+    return SchedulerConfig(
+        kind="multistep_warmup", warm_up_end=warm_up_end, milestones=tuple(milestones), gamma=gamma
+    )
+
+
+def _exp(decay_rate, max_steps):
+    return SchedulerConfig(kind="exponential", decay_rate=decay_rate, max_steps=max_steps)
+
+
+_SURFACE_TRAINER = dict(
+    steps_per_eval_image=500,
+    steps_per_eval_batch=5000,
+    steps_per_save=20000,
+    steps_per_eval_all_images=1000000,
+    mixed_precision=False,
+)
+
+
+def _surface_cfg(name, model_cls, model_cfg, optimizers, trainer_kwargs, rays_per_batch=1024):
+    return Config(
+        method_name=name,
+        trainer=TrainerConfig(**{**_SURFACE_TRAINER, **trainer_kwargs}),
+        datamanager=DataManagerConfig(
+            train_num_rays_per_batch=rays_per_batch,
+            eval_num_rays_per_batch=1024,
+            camera_optimizer=CameraOptimizerConfig(mode="off"),
+        ),
+        model=model_cfg,
+        model_class=model_cls,
+        dataparser=SDFStudioDataParserConfig(),
+        dataparser_class=SDFStudio,
+        optimizers=optimizers,
+    )
+
+
+# --- neus (method_configs.py:725-758) --------------------------------------
+method_configs["neus"] = _surface_cfg(
+    "neus",
+    NeuSModel,
+    NeuSModelConfig(eval_num_rays_per_chunk=1024),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+    },
+    dict(max_num_iterations=100000),
+)
+
+# --- volsdf (method_configs.py:617-650) ------------------------------------
+method_configs["volsdf"] = _surface_cfg(
+    "volsdf",
+    VolSDFModel,
+    VolSDFModelConfig(eval_num_rays_per_chunk=1024),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _exp(0.1, 100000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _exp(0.1, 100000)),
+    },
+    dict(max_num_iterations=100000),
+)
+
+# --- monosdf (method_configs.py:581-615) -----------------------------------
+method_configs["monosdf"] = _surface_cfg(
+    "monosdf",
+    VolSDFModel,
+    VolSDFModelConfig(
+        mono_depth_loss_mult=0.1, mono_normal_loss_mult=0.05, eval_num_rays_per_chunk=1024
+    ),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _exp(0.1, 200000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _exp(0.1, 200000)),
+    },
+    dict(max_num_iterations=200000),
+)
+method_configs["monosdf"].dataparser = SDFStudioDataParserConfig(include_mono_prior=True)
+
+# --- mono-neus (method_configs.py:688-722) ---------------------------------
+method_configs["mono-neus"] = _surface_cfg(
+    "mono-neus",
+    NeuSModel,
+    NeuSModelConfig(
+        mono_depth_loss_mult=0.1, mono_normal_loss_mult=0.05, eval_num_rays_per_chunk=1024
+    ),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+    },
+    dict(max_num_iterations=100000),
+)
+method_configs["mono-neus"].dataparser = SDFStudioDataParserConfig(include_mono_prior=True)
+
+# --- geo-neus / geo-volsdf (method_configs.py:544-579, 651-686) ------------
+method_configs["geo-neus"] = _surface_cfg(
+    "geo-neus",
+    NeuSModel,
+    NeuSModelConfig(patch_warp_loss_mult=0.1, eval_num_rays_per_chunk=1024),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+    },
+    dict(max_num_iterations=200000),
+)
+method_configs["geo-neus"].dataparser = SDFStudioDataParserConfig(
+    load_pairs=True, include_sfm_points=True
+)
+
+method_configs["geo-volsdf"] = _surface_cfg(
+    "geo-volsdf",
+    VolSDFModel,
+    VolSDFModelConfig(patch_warp_loss_mult=0.1, eval_num_rays_per_chunk=1024),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _multistep(1000000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _exp(0.1, 200000)),
+    },
+    dict(max_num_iterations=200001),
+)
+method_configs["geo-volsdf"].dataparser = SDFStudioDataParserConfig(load_pairs=True)
+
+# --- unisurf family (method_configs.py:760-860) ----------------------------
+for _name, _mkw, _parser in (
+    ("unisurf", {}, SDFStudioDataParserConfig()),
+    (
+        "mono-unisurf",
+        dict(mono_depth_loss_mult=0.1, mono_normal_loss_mult=0.05),
+        SDFStudioDataParserConfig(include_mono_prior=True),
+    ),
+    ("geo-unisurf", dict(patch_warp_loss_mult=0.1), SDFStudioDataParserConfig(load_pairs=True)),
+):
+    method_configs[_name] = _surface_cfg(
+        _name,
+        UniSurfModel,
+        UniSurfModelConfig(eval_num_rays_per_chunk=1024, **_mkw),
+        {
+            "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+            "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched()),
+        },
+        dict(max_num_iterations=100000),
+    )
+    method_configs[_name].dataparser = _parser
+
+# --- neus-facto (method_configs.py:452-501) --------------------------------
+method_configs["neus-facto"] = _surface_cfg(
+    "neus-facto",
+    NeuSFactoModel,
+    NeuSFactoModelConfig(
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=2,
+            num_layers_color=2,
+            hidden_dim=256,
+            bias=0.5,
+            beta_init=0.3,
+            use_appearance_embedding=False,
+            inside_outside=False,
+        ),
+        background_model="none",
+        eval_num_rays_per_chunk=1024,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(20000)),
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+    },
+    dict(max_num_iterations=20001, steps_per_eval_image=5000),
+    rays_per_batch=2048,
+)
+
+# --- neus-facto-bigmlp (method_configs.py:503-542) -------------------------
+method_configs["neus-facto-bigmlp"] = _surface_cfg(
+    "neus-facto-bigmlp",
+    NeuSFactoModel,
+    NeuSFactoModelConfig(
+        sdf_field=SDFFieldConfig(num_layers=8, hidden_dim=512, num_layers_color=4),
+        eval_num_rays_per_chunk=1024,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(100000)),
+        "field": OptimizerGroupConfig(_adam(1e-3), _neus_sched(500, 0.05, 100000)),
+        "field_background": OptimizerGroupConfig(_adam(1e-2), _neus_sched(500, 0.05, 100000)),
+    },
+    dict(max_num_iterations=100001, steps_per_eval_image=5000),
+    rays_per_batch=2048,
+)
+
+# --- neus-facto-angelo (method_configs.py:381-450) -------------------------
+method_configs["neus-facto-angelo"] = _surface_cfg(
+    "neus-facto-angelo",
+    NeuSFactoModel,
+    NeuSFactoModelConfig(
+        near_plane=0.01,
+        far_plane=1000.0,
+        overwrite_near_far_plane=True,
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=1,
+            num_layers_color=4,
+            hidden_dim=256,
+            hidden_dim_color=256,
+            geometric_init=True,
+            bias=0.5,
+            beta_init=0.3,
+            inside_outside=False,
+            use_appearance_embedding=True,
+            use_numerical_gradients=True,
+            base_res=64,
+            max_res=4096,
+            log2_hashmap_size=22,
+            hash_features_per_level=8,
+            hash_smoothstep=False,
+            use_position_encoding=False,
+        ),
+        background_model="grid",
+        eval_num_rays_per_chunk=1024,
+        level_init=8,
+        eikonal_loss_mult=0.01,
+        use_anneal_beta=True,
+        enable_progressive_hash_encoding=True,
+        enable_numerical_gradients_schedule=True,
+        enable_curvature_loss_schedule=True,
+        curvature_loss_multi=5e-4,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(1000000)),
+        "field": OptimizerGroupConfig(_adam(1e-3), _multistep_warmup(5000, [600000, 800000])),
+        "field_background": OptimizerGroupConfig(
+            _adam(1e-3, kind="adamw"), _multistep_warmup(5000, [300000, 400000])
+        ),
+    },
+    dict(max_num_iterations=1000001, steps_per_eval_image=5000),
+    rays_per_batch=2048,
+)
+
+# --- neuralangelo (method_configs.py:184-243) ------------------------------
+method_configs["neuralangelo"] = _surface_cfg(
+    "neuralangelo",
+    NeuralangeloModel,
+    NeuralangeloModelConfig(
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=1,
+            num_layers_color=4,
+            hidden_dim=256,
+            hidden_dim_color=256,
+            geometric_init=True,
+            bias=0.5,
+            beta_init=0.3,
+            inside_outside=False,
+            use_appearance_embedding=False,
+            position_encoding_max_degree=6,
+            use_numerical_gradients=True,
+            base_res=64,
+            max_res=4096,
+            log2_hashmap_size=22,
+            hash_features_per_level=8,
+            hash_smoothstep=False,
+            use_position_encoding=False,
+        ),
+        background_model="mlp",
+        enable_progressive_hash_encoding=True,
+        enable_curvature_loss_schedule=True,
+        enable_numerical_gradients_schedule=True,
+    ),
+    {
+        "field": OptimizerGroupConfig(
+            _adam(1e-3, kind="adamw", weight_decay=0.01),
+            _multistep_warmup(5000, [300000, 400000]),
+        ),
+        "field_background": OptimizerGroupConfig(
+            _adam(1e-3, kind="adamw"), _multistep_warmup(5000, [300000, 400000])
+        ),
+    },
+    dict(max_num_iterations=500001, steps_per_eval_image=5000),
+    rays_per_batch=512,
+)
+
+# --- bakedsdf (method_configs.py:246-310) ----------------------------------
+method_configs["bakedsdf"] = _surface_cfg(
+    "bakedsdf",
+    BakedSDFFactoModel,
+    BakedSDFModelConfig(
+        near_plane=0.2,
+        far_plane=1000.0,
+        overwrite_near_far_plane=True,
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=2,
+            num_layers_color=2,
+            hidden_dim=256,
+            hidden_dim_color=256,
+            geometric_init=True,
+            bias=0.05,
+            beta_init=0.1,
+            inside_outside=False,
+            use_appearance_embedding=False,
+            position_encoding_max_degree=8,
+            use_diffuse_color=True,
+            use_specular_tint=True,
+            use_reflections=True,
+            use_n_dot_v=True,
+            off_axis=True,
+        ),
+        eikonal_loss_mult=0.01,
+        background_model="none",
+        proposal_weights_anneal_max_num_iters=1000,
+        use_anneal_beta=True,
+        eval_num_rays_per_chunk=1024,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(250000)),
+        "field": OptimizerGroupConfig(_adam(1e-2), _neus_sched(500, 0.05, 250000)),
+        "field_background": OptimizerGroupConfig(_adam(1e-3), _neus_sched(500, 0.05, 250000)),
+    },
+    dict(max_num_iterations=250001, steps_per_eval_image=5000),
+    rays_per_batch=8192,
+)
+
+# --- bakedsdf-mlp (method_configs.py:313-378) ------------------------------
+method_configs["bakedsdf-mlp"] = _surface_cfg(
+    "bakedsdf-mlp",
+    BakedSDFFactoModel,
+    BakedSDFModelConfig(
+        near_plane=0.2,
+        far_plane=1000.0,
+        overwrite_near_far_plane=True,
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=False,
+            num_layers=8,
+            num_layers_color=2,
+            hidden_dim=1024,
+            hidden_dim_color=256,
+            geometric_init=True,
+            bias=0.05,
+            beta_init=0.1,
+            inside_outside=False,
+            use_appearance_embedding=False,
+            position_encoding_max_degree=8,
+            use_diffuse_color=True,
+            use_specular_tint=True,
+            use_reflections=True,
+            use_n_dot_v=True,
+            off_axis=True,
+        ),
+        eikonal_loss_mult=0.01,
+        background_model="none",
+        use_anneal_beta=True,
+        proposal_weights_anneal_max_num_iters=20000,
+        eval_num_rays_per_chunk=1024,
+        use_spatial_varying_eikonal_loss=True,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(250000)),
+        "field": OptimizerGroupConfig(_adam(2e-3), _neus_sched(500, 0.05, 250000)),
+        "field_background": OptimizerGroupConfig(_adam(1e-3), _neus_sched(500, 0.05, 250000)),
+    },
+    dict(max_num_iterations=250001, steps_per_eval_image=5000),
+    rays_per_batch=4096,
+)
+
+# --- bakedangelo (method_configs.py:111-181) -------------------------------
+method_configs["bakedangelo"] = _surface_cfg(
+    "bakedangelo",
+    BakedAngeloModel,
+    BakedAngeloModelConfig(
+        near_plane=0.01,
+        far_plane=1000.0,
+        overwrite_near_far_plane=True,
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=1,
+            num_layers_color=4,
+            hidden_dim=256,
+            hidden_dim_color=256,
+            geometric_init=True,
+            bias=1.5,
+            beta_init=0.1,
+            inside_outside=True,
+            use_appearance_embedding=True,
+            use_numerical_gradients=True,
+            base_res=64,
+            max_res=4096,
+            log2_hashmap_size=22,
+            hash_features_per_level=8,
+            hash_smoothstep=False,
+            use_position_encoding=False,
+        ),
+        eikonal_loss_mult=0.01,
+        background_model="grid",
+        proposal_weights_anneal_max_num_iters=10000,
+        use_anneal_beta=True,
+        eval_num_rays_per_chunk=1024,
+        use_spatial_varying_eikonal_loss=False,
+        steps_per_level=10000,
+        curvature_loss_warmup_steps=20000,
+        beta_anneal_end=0.0002,
+        beta_anneal_max_num_iters=1000000,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(1000000)),
+        "field": OptimizerGroupConfig(
+            _adam(1e-3, kind="adamw", weight_decay=1e-2),
+            _multistep_warmup(5000, [600000, 800000]),
+        ),
+        "field_background": OptimizerGroupConfig(
+            _adam(1e-3, kind="adamw"), _multistep_warmup(5000, [300000, 400000])
+        ),
+    },
+    dict(max_num_iterations=1000001, steps_per_eval_image=5000),
+    rays_per_batch=8192,
+)
+
+
+def get_method_config(name: str) -> Config:
+    import copy
+
+    if name not in method_configs:
+        raise ValueError(
+            f"unknown method '{name}'; available: {', '.join(sorted(method_configs))}"
+        )
+    return copy.deepcopy(method_configs[name])

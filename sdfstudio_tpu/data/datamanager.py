@@ -1,0 +1,138 @@
+"""Data manager: cache-everything design with ON-DEVICE pixel sampling.
+
+Functional spec: reference nerfstudio/data/datamanagers/base_datamanager.py:292-498
+(VanillaDataManager = CacheDataloader + PixelSampler + CameraOptimizer +
+RayGenerator) and data/pixel_samplers.py / utils/dataloaders.py.
+
+TPU-native redesign: ALL images (plus mono cues / masks) are stacked into
+device arrays once at startup (the reference's CacheDataloader caches
+collated images in GPU memory — dataloaders.py:94-115). Per step, pixel
+index sampling, gather, camera-optimizer pose deltas, and ray generation all
+happen INSIDE the jitted train step via :meth:`sample_train_batch` and
+:meth:`generate_rays` — zero host↔device traffic in steady state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdfstudio_tpu.cameras.camera_optimizers import CameraOptimizer, CameraOptimizerConfig
+from sdfstudio_tpu.cameras.cameras import Cameras
+from sdfstudio_tpu.core.rays import RayBundle
+from sdfstudio_tpu.data.dataparsers.base import DataparserOutputs, load_image
+
+
+@dataclasses.dataclass
+class DataManagerConfig:
+    """Mirror of VanillaDataManagerConfig essentials (base_datamanager.py:255-290)."""
+
+    train_num_rays_per_batch: int = 1024
+    eval_num_rays_per_batch: int = 1024
+    camera_optimizer: CameraOptimizerConfig = CameraOptimizerConfig()
+
+
+class VanillaDataManager:
+    """Holds device-resident dataset tensors + pure sampling functions."""
+
+    def __init__(
+        self,
+        config: DataManagerConfig,
+        train_outputs: DataparserOutputs,
+        eval_outputs: Optional[DataparserOutputs] = None,
+    ):
+        self.config = config
+        self.train_outputs = train_outputs
+        self.eval_outputs = eval_outputs
+        self.train_cameras: Cameras = train_outputs.cameras
+        self.eval_cameras: Optional[Cameras] = (
+            eval_outputs.cameras if eval_outputs is not None else None
+        )
+
+        self.train_data = self._stack(train_outputs)
+        self.eval_data = self._stack(eval_outputs) if eval_outputs is not None else None
+
+        self.num_train_images = self.train_data["image"].shape[0]
+        self.image_height = self.train_data["image"].shape[1]
+        self.image_width = self.train_data["image"].shape[2]
+
+        self.camera_optimizer = CameraOptimizer(
+            num_cameras=self.num_train_images, config=config.camera_optimizer
+        )
+
+    @staticmethod
+    def _stack(outputs: DataparserOutputs) -> Dict[str, jnp.ndarray]:
+        images = np.stack([load_image(f)[..., :3] for f in outputs.image_filenames])
+        data = {"image": jnp.asarray(images)}
+        if outputs.depths:
+            data["depth"] = jnp.asarray(np.stack(outputs.depths))
+        if outputs.normals:
+            data["normal"] = jnp.asarray(np.stack(outputs.normals))
+        if outputs.sensor_depths:
+            data["sensor_depth"] = jnp.asarray(np.stack(outputs.sensor_depths))
+        if outputs.fg_masks:
+            data["fg_mask"] = jnp.asarray(np.stack(outputs.fg_masks))
+        return data
+
+    # ------------------------------------------------------------------
+    def init_camera_opt(self, rng: jax.Array):
+        return self.camera_optimizer.init(rng, jnp.zeros((1,), jnp.int32))["params"]
+
+    def sample_train_batch(
+        self,
+        rng: jax.Array,
+        num_rays: Optional[int] = None,
+        data: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Random (camera, y, x) indices + gathered per-pixel supervision
+        (reference pixel_samplers.py:27-64,184). Pure; call inside jit.
+
+        IMPORTANT: inside a jitted step, pass ``data`` explicitly as a jit
+        argument — closing over the image tensors bakes them into the HLO
+        as multi-MB constants (and has crashed the TPU compiler's fusion
+        pass on large programs)."""
+        data = data if data is not None else self.train_data
+        R = num_rays or self.config.train_num_rays_per_batch
+        kc, ky, kx = jax.random.split(rng, 3)
+        cam = jax.random.randint(kc, (R,), 0, self.num_train_images)
+        y = jax.random.randint(ky, (R,), 0, self.image_height)
+        x = jax.random.randint(kx, (R,), 0, self.image_width)
+        batch = {k: v[cam, y, x] for k, v in data.items()}
+        ray_indices = jnp.stack([cam, y, x], axis=-1)
+        return ray_indices, batch
+
+    def generate_rays(
+        self,
+        camera_opt_params,
+        ray_indices: jnp.ndarray,  # [R, 3] (cam, y, x)
+        cameras: Optional[Cameras] = None,
+        train: bool = True,
+    ) -> RayBundle:
+        """(cam, y, x) -> RayBundle with pose correction
+        (reference ray_generators.py:26-59). Pixel centers at +0.5."""
+        cams = cameras if cameras is not None else self.train_cameras
+        cam = ray_indices[:, 0]
+        coords = ray_indices[:, 1:].astype(jnp.float32) + 0.5
+        if train and self.config.camera_optimizer.mode != "off":
+            correction = self.camera_optimizer.apply({"params": camera_opt_params}, cam)
+        else:
+            correction = None
+        return cams.generate_rays(cam, coords, camera_opt_to_camera=correction)
+
+    # ------------------------------------------------------------------
+    def eval_image_data(self, image_index: int) -> Dict[str, jnp.ndarray]:
+        data = self.eval_data if self.eval_data is not None else self.train_data
+        return {k: v[image_index] for k, v in data.items()}
+
+    def eval_image_rays(self, image_index: int) -> RayBundle:
+        cams = self.eval_cameras if self.eval_cameras is not None else self.train_cameras
+        return cams.generate_image_rays(image_index)
+
+    @property
+    def num_eval_images(self) -> int:
+        if self.eval_data is not None:
+            return self.eval_data["image"].shape[0]
+        return self.num_train_images

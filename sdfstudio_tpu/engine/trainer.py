@@ -1,0 +1,269 @@
+"""Trainer: one jitted train step over a device mesh + host-side loop.
+
+Functional spec: reference nerfstudio/engine/trainer.py:52-364 (train loop,
+eval cadences, checkpoint save/load) — redesigned so the entire hot path
+(pixel sampling -> ray generation -> model forward -> losses -> grads ->
+optimizer update) is ONE XLA program with the ray batch sharded across the
+mesh's data axis (replacing DDP, base_pipeline.py:242). Python only ticks
+the loop, logs, evals, and checkpoints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from sdfstudio_tpu.data.datamanager import VanillaDataManager
+from sdfstudio_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
+from sdfstudio_tpu.parallel import mesh as mesh_lib
+from sdfstudio_tpu.utils import writer as writer_lib
+from sdfstudio_tpu.utils.metrics import psnr as psnr_fn, ssim as ssim_fn
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Mirror of reference TrainerConfig (configs/base_config.py:134-166)."""
+
+    steps_per_save: int = 1000
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 1000000
+    max_num_iterations: int = 1000000
+    steps_per_log: int = 10
+    mixed_precision: bool = False
+    save_only_latest_checkpoint: bool = True
+    load_dir: Optional[Path] = None
+    load_step: Optional[int] = None
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # int32 scalar
+    params: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Owns the jitted step, eval renderer, writer, and checkpoints."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model,
+        datamanager: VanillaDataManager,
+        optimizer_groups: Dict[str, OptimizerGroupConfig],
+        base_dir: Path,
+        writer: Optional[writer_lib.Writer] = None,
+        mesh=None,
+    ):
+        self.config = config
+        self.model = model
+        self.datamanager = datamanager
+        self.optimizer_groups = optimizer_groups
+        self.base_dir = Path(base_dir)
+        self.ckpt_dir = self.base_dir / "sdfstudio_models"
+        self.writer = writer or writer_lib.Writer(self.base_dir)
+        self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
+        self.state: Optional[TrainState] = None
+        self._jit_train_step = None
+        self._render_chunk = None
+
+    # ------------------------------------------------------------------
+    def setup(self, rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(42)
+        k_model, k_cam = jax.random.split(rng)
+        params = self.model.init(k_model)
+        if self.datamanager.config.camera_optimizer.mode != "off":
+            params["camera_opt"] = self.datamanager.init_camera_opt(k_cam)
+        self.tx = build_optimizer(self.optimizer_groups, params)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(step=jnp.asarray(0, jnp.int32), params=params, opt_state=opt_state)
+
+        if self.config.load_dir is not None:
+            self._load_checkpoint(Path(self.config.load_dir), self.config.load_step)
+
+        # dataset tensors and cameras are jit ARGUMENTS (not closures): the
+        # image stack is tens of MB and would otherwise be inlined into the
+        # HLO as constants
+        self._jit_train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._render_chunk = jax.jit(self._render_chunk_impl)
+        return self.state
+
+    def _train_step(self, state: TrainState, rng: jax.Array):
+        return self._jit_train_step(
+            state, rng, self.datamanager.train_data, self.datamanager.train_cameras
+        )
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, state: TrainState, rng: jax.Array, train_data, cameras):
+        model, dm = self.model, self.datamanager
+        step_f = state.step.astype(jnp.float32)
+        sched = model.schedules(step_f)
+        rng_sample, rng_model, rng_loss = jax.random.split(rng, 3)
+
+        ray_indices, batch = dm.sample_train_batch(rng_sample, data=train_data)
+        # shard the ray batch across the mesh's data axis
+        ray_indices = mesh_lib.shard_leading_axis(ray_indices, self.mesh)
+        batch = mesh_lib.shard_leading_axis(batch, self.mesh)
+
+        def loss_fn(params):
+            cam_params = params.get("camera_opt")
+            ray_bundle = dm.generate_rays(cam_params, ray_indices, cameras=cameras, train=True)
+            outputs = model.get_outputs(params, ray_bundle, rng=rng_model, sched=sched, train=True)
+            loss_dict = model.get_loss_dict(params, outputs, batch, sched, rng_loss)
+            total = sum(loss_dict.values())
+            metrics = model.get_metrics_dict(params, outputs, batch)
+            return total, (loss_dict, metrics)
+
+        (loss, (loss_dict, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        out = {"loss": loss, **loss_dict, **metrics}
+        return new_state, out
+
+    # ------------------------------------------------------------------
+    def _render_chunk_impl(self, params, ray_bundle):
+        sched = self.model.schedules(
+            self.state.step.astype(jnp.float32) if self.state is not None else jnp.asarray(1e9)
+        )
+        outputs = self.model.get_outputs(params, ray_bundle, rng=None, sched=sched, train=False)
+        keep = {}
+        for k in ("rgb", "depth", "accumulation", "normal", "normal_vis"):
+            if k in outputs:
+                keep[k] = outputs[k]
+        return keep
+
+    def render_image(self, params, camera_index: int, eval_cameras: bool = True) -> Dict[str, np.ndarray]:
+        """Chunked full-image render (reference base_model.py:165-189)."""
+        dm = self.datamanager
+        bundle = (
+            dm.eval_image_rays(camera_index)
+            if eval_cameras
+            else dm.train_cameras.generate_image_rays(camera_index)
+        )
+        chunk = self.model.config.eval_num_rays_per_chunk
+        n = bundle.origins.shape[0]
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        pad = n_pad - n
+
+        def pad_leaf(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+                return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x
+            return x
+
+        bundle = jax.tree_util.tree_map(pad_leaf, bundle)
+        outs = []
+        for i in range(n_pad // chunk):
+            sl = jax.tree_util.tree_map(
+                lambda x: x[i * chunk : (i + 1) * chunk]
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_pad
+                else x,
+                bundle,
+            )
+            outs.append(self._render_chunk(params, sl))
+        merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        merged = jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), merged)
+        cams = dm.eval_cameras if (eval_cameras and dm.eval_cameras is not None) else dm.train_cameras
+        h = int(np.asarray(cams.height)[camera_index])
+        w = int(np.asarray(cams.width)[camera_index])
+        return {k: v.reshape(h, w, *v.shape[1:]) for k, v in merged.items()}
+
+    def eval_image_metrics(self, camera_index: int) -> Dict[str, float]:
+        """PSNR/SSIM on one eval image (reference base_pipeline.py:300-318)."""
+        outputs = self.render_image(self.state.params, camera_index)
+        gt = np.asarray(self.datamanager.eval_image_data(camera_index)["image"])[..., :3]
+        rgb = outputs["rgb"]
+        return {
+            "psnr": float(psnr_fn(jnp.asarray(rgb), jnp.asarray(gt))),
+            "ssim": float(ssim_fn(jnp.asarray(rgb), jnp.asarray(gt))),
+        }
+
+    # ------------------------------------------------------------------
+    def train(self, num_iterations: Optional[int] = None):
+        """Main loop (reference trainer.py:131-187)."""
+        assert self.state is not None, "call setup() first"
+        cfg = self.config
+        max_iters = num_iterations or cfg.max_num_iterations
+        rng = jax.random.PRNGKey(np.uint32(jax.process_index() * 7919 + 1))
+        num_rays = self.datamanager.config.train_num_rays_per_batch
+
+        start_step = int(self.state.step)
+        for step in range(start_step, max_iters):
+            t0 = time.perf_counter()
+            rng, sub = jax.random.split(rng)
+            self.state, metrics = self._train_step(self.state, sub)
+            if step % cfg.steps_per_log == 0 or step == max_iters - 1:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                jax.block_until_ready(self.state.params)
+                dt = time.perf_counter() - t0
+                self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step)
+                self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step)
+                self.writer.put_dict(metrics, step)
+                self.writer.print_row(step + 1, max_iters, metrics)
+
+            if cfg.steps_per_eval_image > 0 and (step + 1) % cfg.steps_per_eval_image == 0:
+                idx = int(np.random.RandomState(step).randint(self.datamanager.num_eval_images))
+                m = self.eval_image_metrics(idx)
+                self.writer.put_dict(m, step, prefix="eval/")
+                print(f"[eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}", flush=True)
+
+            if (step + 1) % cfg.steps_per_save == 0 or step == max_iters - 1:
+                self.save_checkpoint(step + 1)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step: int):
+        """Orbax checkpoint (reference trainer.py:277-306)."""
+        if not mesh_lib.is_main_process():
+            return
+        import orbax.checkpoint as ocp
+
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        path = self.ckpt_dir / f"step-{step:09d}"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path.absolute(),
+            {"step": np.asarray(step), "params": self.state.params, "opt_state": self.state.opt_state},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        if self.config.save_only_latest_checkpoint:
+            for p in sorted(self.ckpt_dir.glob("step-*")):
+                if p != path:
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+
+    def _load_checkpoint(self, load_dir: Path, load_step: Optional[int] = None):
+        """Resume (reference trainer.py:254-275)."""
+        import orbax.checkpoint as ocp
+
+        if load_step is None:
+            steps = sorted(int(p.name.split("-")[1]) for p in load_dir.glob("step-*"))
+            assert steps, f"no checkpoints in {load_dir}"
+            load_step = steps[-1]
+        path = load_dir / f"step-{load_step:09d}"
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "step": np.asarray(0),
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+        }
+        restored = ckptr.restore(path.absolute(), template)
+        self.state = TrainState(
+            step=jnp.asarray(int(restored["step"]), jnp.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        print(f"loaded checkpoint from {path} at step {load_step}", flush=True)

@@ -456,6 +456,8 @@ class SDFField:
         hash_mask: Optional[jnp.ndarray] = None,
         cos_anneal_ratio: jnp.ndarray | float = 1.0,
         numerical_delta: Optional[jnp.ndarray] = None,
+        inv_s_override: Optional[jnp.ndarray] = None,
+        beta_override: Optional[jnp.ndarray] = None,
         return_alphas: bool = False,
         return_occupancy: bool = False,
         train: bool = True,
@@ -509,7 +511,9 @@ class SDFField:
             method=SDFFieldNet.colors,
         )
 
-        beta = self.get_beta(params)
+        # scheduled beta-anneal overrides the learned laplace beta (the
+        # reference writes the parameter in-place, bakedsdf.py:197-204)
+        beta = beta_override if beta_override is not None else self.get_beta(params)
         density = density_ops.laplace_density(sdf[..., 0], beta)
 
         outputs = {
@@ -524,7 +528,9 @@ class SDFField:
             outputs["sampled_sdf"] = sampled_sdf.reshape(R, S, 6)
 
         if return_alphas:
-            inv_s = self.get_inv_s(params)
+            # scheduled beta-anneal overrides the learned deviation (the
+            # reference writes the parameter in-place, neus_facto.py:191-196)
+            inv_s = inv_s_override if inv_s_override is not None else self.get_inv_s(params)
             outputs["alpha"] = density_ops.neus_alpha(
                 outputs["sdf"],
                 outputs["gradient"],

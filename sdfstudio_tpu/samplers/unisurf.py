@@ -63,6 +63,9 @@ def find_surface_points(
     z = (v_low * d_high - v_high * d_low) / jnp.where(
         jnp.abs(v_low - v_high) > 1e-12, v_low - v_high, 1e-12
     )
+    # keep invalid-ray roots in a sane range (they are masked downstream, but
+    # runaway values would otherwise feed the field with huge positions)
+    z = jnp.clip(z, starts[..., 0], starts[..., -1])
     points = ray_samples.origins + ray_samples.directions * z[:, None]
     return SurfacePoints(points=points, mask=mask, depth=z)
 

@@ -1,0 +1,146 @@
+"""sst-train: training entry point.
+
+Functional spec: reference scripts/train.py:220-259 (tyro CLI -> config ->
+launch -> train). CLI shape mirrors the reference:
+
+    sst-train neus-facto --experiment-name run1 \
+        --pipeline.model.sdf-field.inside-outside False \
+        sdfstudio-data --data data/DTU/scan65 --include-mono-prior False
+
+Distribution: no mp.spawn/NCCL — the trainer's jitted step runs over the
+full jax device mesh in this one process (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from sdfstudio_tpu.configs.base import Config, override_nested
+from sdfstudio_tpu.configs.methods import descriptions, get_method_config, method_configs
+
+DATAPARSERS = {}
+
+
+def _register_dataparsers():
+    global DATAPARSERS
+    from sdfstudio_tpu.data.dataparsers.sdfstudio import (
+        SDFStudio,
+        SDFStudioDataParserConfig,
+    )
+
+    DATAPARSERS["sdfstudio-data"] = (SDFStudioDataParserConfig, SDFStudio)
+    try:
+        from sdfstudio_tpu.data.dataparsers.blender import (
+            Blender,
+            BlenderDataParserConfig,
+        )
+
+        DATAPARSERS["blender-data"] = (BlenderDataParserConfig, Blender)
+    except ImportError:
+        pass
+    try:
+        from sdfstudio_tpu.data.dataparsers.nerfstudio_parser import (
+            Nerfstudio,
+            NerfstudioDataParserConfig,
+        )
+
+        DATAPARSERS["nerfstudio-data"] = (NerfstudioDataParserConfig, Nerfstudio)
+    except ImportError:
+        pass
+
+
+def _print_help():
+    print("usage: sst-train <method> [--<path> <value>]... [<dataparser> [--<path> <value>]...]")
+    print("\nmethods:")
+    for name in sorted(method_configs):
+        print(f"  {name:22s} {descriptions.get(name, '')}")
+    _register_dataparsers()
+    print("\ndataparsers:", ", ".join(sorted(DATAPARSERS)))
+    print("\ncommon flags: --data PATH  --experiment-name NAME  --output-dir DIR")
+    print("  --vis {tensorboard,none}  --trainer.max-num-iterations N")
+    print("  --pipeline.model.<field> V  --pipeline.datamanager.<field> V")
+
+
+def _apply_override(config: Config, key: str, value: str) -> Config:
+    key = key.lstrip("-")
+    norm = key.replace("-", "_")
+    # reference-compatible aliases
+    if norm == "data":
+        config.data = Path(value)
+        return config
+    if norm in ("experiment_name", "output_dir", "vis", "method_name", "timestamp"):
+        setattr(config, norm, Path(value) if norm == "output_dir" else value)
+        return config
+    if norm == "seed":
+        config.seed = int(value)
+        return config
+    for prefix, attr in (
+        ("pipeline.model.", "model"),
+        ("pipeline.datamanager.", "datamanager"),
+        ("model.", "model"),
+        ("datamanager.", "datamanager"),
+        ("trainer.", "trainer"),
+        ("machine.", None),  # accepted and ignored: single-process mesh
+    ):
+        if norm.startswith(prefix.replace("-", "_")):
+            if attr is None:
+                return config
+            rest = norm[len(prefix):]
+            setattr(config, attr, override_nested(getattr(config, attr), rest, value))
+            return config
+    if norm.startswith("optimizers."):
+        config.optimizers = override_nested(config.optimizers, norm[len("optimizers."):], value)
+        return config
+    raise ValueError(f"unknown flag --{key}")
+
+
+def parse_args(argv) -> Config:
+    _register_dataparsers()
+    if not argv or argv[0] in ("-h", "--help"):
+        _print_help()
+        sys.exit(0)
+    method = argv[0]
+    config = get_method_config(method)
+    i = 1
+    # method-level overrides until a dataparser name appears
+    while i < len(argv):
+        tok = argv[i]
+        if tok in DATAPARSERS:
+            parser_cfg_cls, parser_cls = DATAPARSERS[tok]
+            config.dataparser = parser_cfg_cls()
+            config.dataparser_class = parser_cls
+            i += 1
+            while i < len(argv):
+                key = argv[i].lstrip("-").replace("-", "_")
+                value = argv[i + 1]
+                if key == "data":
+                    config.data = Path(value)
+                else:
+                    config.dataparser = override_nested(config.dataparser, key, value)
+                i += 2
+            break
+        value = argv[i + 1]
+        config = _apply_override(config, tok, value)
+        i += 2
+    return config
+
+
+def main(config: Config):
+    config.set_timestamp()
+    from sdfstudio_tpu.engine.setup import setup_trainer
+
+    trainer = setup_trainer(config)
+    config.save_config()
+    import jax
+
+    trainer.setup(jax.random.PRNGKey(config.seed))
+    trainer.train()
+    print("training finished", flush=True)
+
+
+def entrypoint():
+    main(parse_args(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    entrypoint()
