@@ -23,16 +23,23 @@ def _skew(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _so3_exp(omega: jnp.ndarray, eps: float = 1e-8):
+def _so3_exp(omega: jnp.ndarray, eps: float = 1e-2):
     """Rodrigues formula; returns (R [..., 3, 3], theta, A, B, C) with the
-    standard coefficients A=sin/t, B=(1-cos)/t^2, C=(t-sin)/t^3."""
+    standard coefficients A=sin/t, B=(1-cos)/t^2, C=(t-sin)/t^3.
+
+    eps is deliberately large (1e-2): below it the Taylor branch is accurate
+    to ~1e-9, and the clamp keeps the unselected branch's quotient-rule
+    denominators ((theta_sq*theta)^2 etc.) well above the float32 underflow
+    threshold — a tiny eps made them flush to zero and 0*inf-poison the
+    backward pass at the identity."""
     theta_sq = jnp.sum(omega**2, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, eps**2))
-    small = theta_sq < eps
+    safe_sq = jnp.maximum(theta_sq, eps**2)
+    theta = jnp.sqrt(safe_sq)
+    small = theta_sq < eps**2
     # Taylor expansions at 0
     A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq)
-    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (theta_sq * theta))
+    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
+    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (safe_sq * theta))
     K = _skew(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
     R = eye + A[..., None, None] * K + B[..., None, None] * (K @ K)

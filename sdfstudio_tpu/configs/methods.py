@@ -480,6 +480,123 @@ method_configs["bakedangelo"] = _surface_cfg(
 )
 
 
+# --- neus-acc (method_configs.py:938-974) ----------------------------------
+from sdfstudio_tpu.models.neus_acc import NeuSAccModel, NeuSAccModelConfig
+
+method_configs["neus-acc"] = _surface_cfg(
+    "neus-acc",
+    NeuSAccModel,
+    NeuSAccModelConfig(eval_num_rays_per_chunk=1024),
+    {
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+    },
+    dict(max_num_iterations=20000, steps_per_eval_image=5000),
+    rays_per_batch=2048,
+)
+
+# --- instant-ngp (method_configs.py:1026-1046) -----------------------------
+from sdfstudio_tpu.models.instant_ngp import InstantNGPModelConfig, NGPModel
+
+
+def _register_instant_ngp():
+    from sdfstudio_tpu.data.dataparsers.blender import Blender, BlenderDataParserConfig
+
+    method_configs["instant-ngp"] = Config(
+        method_name="instant-ngp",
+        trainer=TrainerConfig(
+            steps_per_eval_batch=5000,
+            steps_per_eval_image=5000,
+            steps_per_save=20000,
+            max_num_iterations=20001,
+        ),
+        datamanager=DataManagerConfig(train_num_rays_per_batch=8192),
+        model=InstantNGPModelConfig(render_step_size=0.005, eval_num_rays_per_chunk=8192),
+        model_class=NGPModel,
+        dataparser=BlenderDataParserConfig(),
+        dataparser_class=Blender,
+        optimizers={
+            "field": OptimizerGroupConfig(_adam(1e-2), _multistep(20000)),
+        },
+    )
+
+
+_register_instant_ngp()
+
+# --- density baselines -----------------------------------------------------
+from sdfstudio_tpu.data.dataparsers.blender import Blender, BlenderDataParserConfig
+from sdfstudio_tpu.models.nerfacto import NerfactoModel, NerfactoModelConfig
+from sdfstudio_tpu.models.vanilla_nerf import (
+    MipNerfModel,
+    MipNerfModelConfig,
+    NeRFModel,
+    VanillaModelConfig,
+)
+
+# vanilla-nerf (method_configs.py:1047-1066)
+method_configs["vanilla-nerf"] = Config(
+    method_name="vanilla-nerf",
+    trainer=TrainerConfig(max_num_iterations=1000000),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    model=VanillaModelConfig(),
+    model_class=NeRFModel,
+    dataparser=BlenderDataParserConfig(),
+    dataparser_class=Blender,
+    optimizers={
+        "field": OptimizerGroupConfig(_adam(5e-4, eps=1e-8, kind="radam")),
+        "temporal_distortion": OptimizerGroupConfig(_adam(5e-4, eps=1e-8, kind="radam")),
+    },
+)
+
+# dnerf (method_configs.py:1089-1109)
+method_configs["dnerf"] = Config(
+    method_name="dnerf",
+    trainer=TrainerConfig(max_num_iterations=1000000),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    model=VanillaModelConfig(enable_temporal_distortion=True),
+    model_class=NeRFModel,
+    dataparser=BlenderDataParserConfig(),
+    dataparser_class=Blender,
+    optimizers={
+        "field": OptimizerGroupConfig(_adam(5e-4, eps=1e-8, kind="radam")),
+        "temporal_distortion": OptimizerGroupConfig(_adam(5e-4, eps=1e-8, kind="radam")),
+    },
+)
+
+# mipnerf (method_configs.py:1005-1025)
+method_configs["mipnerf"] = Config(
+    method_name="mipnerf",
+    trainer=TrainerConfig(max_num_iterations=1000000),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    model=MipNerfModelConfig(eval_num_rays_per_chunk=1024),
+    model_class=MipNerfModel,
+    dataparser=BlenderDataParserConfig(),
+    dataparser_class=Blender,
+    optimizers={"field": OptimizerGroupConfig(_adam(5e-4, eps=1e-8, kind="radam"))},
+)
+
+# nerfacto (method_configs.py:976-1003) — nerfstudio-data when available
+method_configs["nerfacto"] = Config(
+    method_name="nerfacto",
+    trainer=TrainerConfig(
+        steps_per_eval_batch=5000, steps_per_save=2000, max_num_iterations=30000
+    ),
+    datamanager=DataManagerConfig(
+        train_num_rays_per_batch=4096,
+        eval_num_rays_per_batch=4096,
+        camera_optimizer=CameraOptimizerConfig(mode="SO3xR3"),
+    ),
+    model=NerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
+    model_class=NerfactoModel,
+    dataparser=BlenderDataParserConfig(),
+    dataparser_class=Blender,
+    optimizers={
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
+        "field": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
+    },
+)
+
+
 def get_method_config(name: str) -> Config:
     import copy
 

@@ -65,7 +65,20 @@ class VanillaDataManager:
 
     @staticmethod
     def _stack(outputs: DataparserOutputs) -> Dict[str, jnp.ndarray]:
-        images = np.stack([load_image(f)[..., :3] for f in outputs.image_filenames])
+        def load(f):
+            img = load_image(f)
+            if img.shape[-1] == 4:
+                # alpha composite over the parser's alpha_color
+                # (reference datasets/base_dataset.py:85-92)
+                bg = (
+                    outputs.alpha_color
+                    if outputs.alpha_color is not None
+                    else np.ones(3, np.float32)
+                )
+                img = img[..., :3] * img[..., 3:] + bg * (1.0 - img[..., 3:])
+            return img[..., :3]
+
+        images = np.stack([load(f) for f in outputs.image_filenames])
         data = {"image": jnp.asarray(images)}
         if outputs.depths:
             data["depth"] = jnp.asarray(np.stack(outputs.depths))

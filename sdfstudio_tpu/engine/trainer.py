@@ -49,6 +49,7 @@ class TrainState:
     step: jnp.ndarray  # int32 scalar
     params: Any
     opt_state: Any
+    model_state: Any = None  # e.g. occupancy grids (instant-ngp / neus-acc)
 
 
 class Trainer:
@@ -85,7 +86,19 @@ class Trainer:
             params["camera_opt"] = self.datamanager.init_camera_opt(k_cam)
         self.tx = build_optimizer(self.optimizer_groups, params)
         opt_state = self.tx.init(params)
-        self.state = TrainState(step=jnp.asarray(0, jnp.int32), params=params, opt_state=opt_state)
+        model_state = (
+            self.model.init_model_state()
+            if hasattr(self.model, "init_model_state")
+            else None
+        )
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            model_state=model_state,
+        )
+        if hasattr(self.model, "update_model_state"):
+            self._jit_update_model_state = jax.jit(self.model.update_model_state)
 
         if self.config.load_dir is not None:
             self._load_checkpoint(Path(self.config.load_dir), self.config.load_step)
@@ -114,10 +127,18 @@ class Trainer:
         ray_indices = mesh_lib.shard_leading_axis(ray_indices, self.mesh)
         batch = mesh_lib.shard_leading_axis(batch, self.mesh)
 
+        model_kwargs = (
+            {"model_state": state.model_state}
+            if getattr(model, "has_model_state", False)
+            else {}
+        )
+
         def loss_fn(params):
             cam_params = params.get("camera_opt")
             ray_bundle = dm.generate_rays(cam_params, ray_indices, cameras=cameras, train=True)
-            outputs = model.get_outputs(params, ray_bundle, rng=rng_model, sched=sched, train=True)
+            outputs = model.get_outputs(
+                params, ray_bundle, rng=rng_model, sched=sched, train=True, **model_kwargs
+            )
             loss_dict = model.get_loss_dict(params, outputs, batch, sched, rng_loss)
             total = sum(loss_dict.values())
             metrics = model.get_metrics_dict(params, outputs, batch)
@@ -128,16 +149,40 @@ class Trainer:
         )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            model_state=state.model_state,
+        )
         out = {"loss": loss, **loss_dict, **metrics}
         return new_state, out
 
+    def maybe_update_model_state(self, rng: jax.Array):
+        """Run the model's grid-update callback at its cadence (the analog of
+        reference grid-update training callbacks, e.g. neus_acc.py)."""
+        model = self.model
+        if not hasattr(model, "update_model_state"):
+            return
+        every = getattr(model, "model_state_update_every", 16)
+        step = int(self.state.step)
+        if step % every == 0:
+            new_ms = self._jit_update_model_state(
+                self.state.params, self.state.model_state, self.state.step, rng
+            )
+            self.state = self.state.replace(model_state=new_ms)
+
     # ------------------------------------------------------------------
-    def _render_chunk_impl(self, params, ray_bundle):
-        sched = self.model.schedules(
-            self.state.step.astype(jnp.float32) if self.state is not None else jnp.asarray(1e9)
+    def _render_chunk_impl(self, params, ray_bundle, step, model_state=None):
+        sched = self.model.schedules(step)
+        model_kwargs = (
+            {"model_state": model_state}
+            if getattr(self.model, "has_model_state", False)
+            else {}
         )
-        outputs = self.model.get_outputs(params, ray_bundle, rng=None, sched=sched, train=False)
+        outputs = self.model.get_outputs(
+            params, ray_bundle, rng=None, sched=sched, train=False, **model_kwargs
+        )
         keep = {}
         for k in ("rgb", "depth", "accumulation", "normal", "normal_vis"):
             if k in outputs:
@@ -163,6 +208,12 @@ class Trainer:
             return x
 
         bundle = jax.tree_util.tree_map(pad_leaf, bundle)
+        step = (
+            self.state.step.astype(jnp.float32)
+            if self.state is not None
+            else jnp.asarray(1e9)
+        )
+        model_state = self.state.model_state if self.state is not None else None
         outs = []
         for i in range(n_pad // chunk):
             sl = jax.tree_util.tree_map(
@@ -171,7 +222,7 @@ class Trainer:
                 else x,
                 bundle,
             )
-            outs.append(self._render_chunk(params, sl))
+            outs.append(self._render_chunk(params, sl, step, model_state))
         merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         merged = jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), merged)
         cams = dm.eval_cameras if (eval_cameras and dm.eval_cameras is not None) else dm.train_cameras
@@ -202,6 +253,8 @@ class Trainer:
         for step in range(start_step, max_iters):
             t0 = time.perf_counter()
             rng, sub = jax.random.split(rng)
+            rng, grid_rng = jax.random.split(rng)
+            self.maybe_update_model_state(grid_rng)
             self.state, metrics = self._train_step(self.state, sub)
             if step % cfg.steps_per_log == 0 or step == max_iters - 1:
                 metrics = {k: float(v) for k, v in metrics.items()}

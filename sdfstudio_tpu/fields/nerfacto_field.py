@@ -38,6 +38,7 @@ class NerfactoFieldNet(nn.Module):
     num_layers_color: int = 3
     hidden_dim_color: int = 64
     appearance_embedding_dim: int = 32
+    use_appearance_embedding: bool = True
     use_transient_embedding: bool = False
     transient_embedding_dim: int = 16
     num_layers_transient: int = 2
@@ -103,7 +104,11 @@ class NerfactoFieldNet(nn.Module):
         density = trunc_exp(raw_density)
 
         d = self.direction_encoding(directions)
-        if train:
+        if not self.use_appearance_embedding:
+            emb = jnp.zeros(
+                (*directions.shape[:-1], self.appearance_embedding_dim), directions.dtype
+            )
+        elif train:
             emb = self.embedding_appearance(camera_indices)
         elif use_average_appearance:
             emb = jnp.broadcast_to(
@@ -150,6 +155,7 @@ class NerfactoField:
     num_levels: int = 16
     max_res: int = 1024
     log2_hashmap_size: int = 19
+    use_appearance_embedding: bool = True
     use_transient_embedding: bool = False
     use_semantics: bool = False
     num_semantic_classes: int = 100
@@ -161,6 +167,7 @@ class NerfactoField:
             num_levels=self.num_levels,
             max_res=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size,
+            use_appearance_embedding=self.use_appearance_embedding,
             use_transient_embedding=self.use_transient_embedding,
             use_semantics=self.use_semantics,
             num_semantic_classes=self.num_semantic_classes,

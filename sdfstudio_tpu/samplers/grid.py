@@ -1,0 +1,112 @@
+"""Occupancy grid + fixed-step masked ray marching.
+
+Functional spec: reference nerfacc OccupancyGrid + ray_marching as used by
+models/instant_ngp.py:113-214, models/neus_acc.py:102-120 and
+ray_samplers.py:373-494,1315-1503. TPU redesign: XLA needs static shapes,
+so instead of nerfacc's packed variable-length samples we march a FIXED
+number of steps per ray and carry a validity mask; unoccupied samples get
+zero density and cost only masked VPU work (SURVEY.md §7 "hard parts").
+The grid itself is a dense [res^3] occupancy value array updated by a
+jitted EMA-decay + re-sample step (nerfacc OccupancyGrid.every_n_step).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sdfstudio_tpu.core.rays import RayBundle, RaySamples
+
+
+@struct.dataclass
+class OccupancyGrid:
+    """Dense occupancy state over an aabb."""
+
+    occs: jnp.ndarray  # [res^3] float occupancy values (EMA)
+    binary: jnp.ndarray  # [res, res, res] bool
+    aabb: jnp.ndarray  # [2, 3]
+    resolution: int = struct.field(pytree_node=False, default=128)
+
+    @classmethod
+    def create(cls, aabb, resolution: int = 128) -> "OccupancyGrid":
+        return cls(
+            occs=jnp.zeros((resolution**3,), jnp.float32),
+            binary=jnp.ones((resolution,) * 3, bool),  # start fully occupied
+            aabb=jnp.asarray(aabb, jnp.float32),
+            resolution=resolution,
+        )
+
+    def cell_positions(self, rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Centers of all cells (+ optional intra-cell jitter) [res^3, 3]."""
+        res = self.resolution
+        idx = jnp.arange(res**3)
+        ijk = jnp.stack([idx // (res * res), (idx // res) % res, idx % res], axis=-1)
+        frac = (ijk.astype(jnp.float32) + 0.5) / res
+        if rng is not None:
+            frac = frac + (jax.random.uniform(rng, frac.shape) - 0.5) / res
+        return self.aabb[0] + frac * (self.aabb[1] - self.aabb[0])
+
+    def occupied_at(self, positions: jnp.ndarray) -> jnp.ndarray:
+        """Bool occupancy lookup for world positions [..., 3]."""
+        res = self.resolution
+        frac = (positions - self.aabb[0]) / (self.aabb[1] - self.aabb[0])
+        inside = jnp.all((frac >= 0.0) & (frac < 1.0), axis=-1)
+        ijk = jnp.clip((frac * res).astype(jnp.int32), 0, res - 1)
+        occ = self.binary[ijk[..., 0], ijk[..., 1], ijk[..., 2]]
+        return occ & inside
+
+
+def update_occupancy_grid(
+    grid: OccupancyGrid,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    rng: jax.Array,
+    occ_threshold: float = 0.01,
+    ema_decay: float = 0.95,
+    render_step_size: float = 0.01,
+) -> OccupancyGrid:
+    """EMA occupancy update (nerfacc OccupancyGrid._update): occ = max(
+    occ * decay, density); binary = occ > min(threshold, mean(occ))."""
+    positions = grid.cell_positions(rng)
+    density = density_fn(positions)
+    # nerfacc thresholds on opacity of one step: 1 - exp(-sigma * dt) ~ sigma*dt
+    alpha = 1.0 - jnp.exp(-density * render_step_size)
+    occs = jnp.maximum(grid.occs * ema_decay, alpha)
+    thresh = jnp.minimum(occ_threshold, jnp.mean(occs))
+    res = grid.resolution
+    binary = (occs > thresh).reshape(res, res, res)
+    return grid.replace(occs=occs, binary=binary)
+
+
+def occupancy_grid_sampler(
+    ray_bundle: RayBundle,
+    grid: OccupancyGrid,
+    num_samples: int,
+    rng: Optional[jax.Array] = None,
+    render_step_size: Optional[float] = None,
+) -> Tuple[RaySamples, jnp.ndarray]:
+    """Fixed-step marching through the grid (nerfacc ray_marching
+    equivalent): returns (ray_samples [R, num_samples], valid mask
+    [R, num_samples]). With render_step_size set, samples step at that size
+    from each ray's near plane (instant-ngp style); otherwise the [near,
+    far] interval is subdivided uniformly."""
+    R = ray_bundle.origins.shape[0]
+    nears = ray_bundle.nears
+    fars = ray_bundle.fars
+    if render_step_size is not None:
+        edges = nears + jnp.arange(num_samples + 1) * render_step_size
+        edges = jnp.broadcast_to(edges, (R, num_samples + 1))
+    else:
+        t = jnp.linspace(0.0, 1.0, num_samples + 1)[None]
+        edges = nears + (fars - nears) * t
+    if rng is not None:
+        jitter = jax.random.uniform(rng, (R, 1))
+        step = edges[:, 1:] - edges[:, :-1]
+        edges = edges.at[:, :-1].add(jitter * step)
+
+    ray_samples = ray_bundle.get_ray_samples(euclidean_bins=edges)
+    mids = ray_samples.get_positions()
+    valid = grid.occupied_at(mids)
+    valid = valid & (ray_samples.starts < fars)
+    return ray_samples, valid

@@ -39,22 +39,29 @@ def shrink(config):
     config.datamanager = dataclasses.replace(
         config.datamanager, train_num_rays_per_batch=32, eval_num_rays_per_batch=32
     )
-    sdf = _maybe(
-        config.model.sdf_field,
-        num_layers=2,
-        hidden_dim=32,
-        geo_feat_dim=15,
-        num_layers_color=2,
-        hidden_dim_color=32,
-        num_levels=4,
-        max_res=64,
-        base_res=16,
-        log2_hashmap_size=10,
-        hash_features_per_level=2,
-    )
+    extra = {}
+    if hasattr(config.model, "sdf_field"):
+        extra["sdf_field"] = _maybe(
+            config.model.sdf_field,
+            num_layers=2,
+            hidden_dim=32,
+            geo_feat_dim=15,
+            num_layers_color=2,
+            hidden_dim_color=32,
+            num_levels=4,
+            max_res=64,
+            base_res=16,
+            log2_hashmap_size=10,
+            hash_features_per_level=2,
+        )
     config.model = _maybe(
         config.model,
-        sdf_field=sdf,
+        **extra,
+        num_coarse_samples=8,
+        num_importance_samples=8,
+        num_levels=4,
+        max_res=64,
+        log2_hashmap_size=10,
         eval_num_rays_per_chunk=64,
         num_samples=8,
         num_samples_importance=8,
