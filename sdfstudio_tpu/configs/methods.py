@@ -597,6 +597,39 @@ method_configs["nerfacto"] = Config(
 )
 
 
+# tensorf (method_configs.py:1067-1087)
+from sdfstudio_tpu.models.tensorf import TensoRFModel, TensoRFModelConfig
+
+method_configs["tensorf"] = Config(
+    method_name="tensorf",
+    trainer=TrainerConfig(max_num_iterations=30000),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    model=TensoRFModelConfig(),
+    model_class=TensoRFModel,
+    dataparser=BlenderDataParserConfig(),
+    dataparser_class=Blender,
+    optimizers={
+        "field": OptimizerGroupConfig(
+            _adam(0.001, eps=1e-8),
+            SchedulerConfig(kind="exponential_decay", lr_final=0.0001, max_steps=30000),
+        ),
+        "encodings": OptimizerGroupConfig(
+            _adam(0.02, eps=1e-8),
+            SchedulerConfig(kind="exponential_decay", lr_final=0.002, max_steps=30000),
+        ),
+    },
+)
+
+
+# geo-* methods sample rays from a single reference image with source views
+import dataclasses as _dc
+
+for _geo in ("geo-neus", "geo-volsdf", "geo-unisurf"):
+    method_configs[_geo].datamanager = _dc.replace(
+        method_configs[_geo].datamanager, kind="flexible"
+    )
+
+
 def get_method_config(name: str) -> Config:
     import copy
 

@@ -33,6 +33,8 @@ class DataManagerConfig:
     train_num_rays_per_batch: int = 1024
     eval_num_rays_per_batch: int = 1024
     camera_optimizer: CameraOptimizerConfig = CameraOptimizerConfig()
+    kind: str = "vanilla"  # vanilla | flexible (patch-warp source views)
+    neighbors_num: Optional[int] = None
 
 
 class VanillaDataManager:
@@ -149,3 +151,55 @@ class VanillaDataManager:
         if self.eval_data is not None:
             return self.eval_data["image"].shape[0]
         return self.num_train_images
+
+
+def gather_cameras(cameras: Cameras, indices: jnp.ndarray) -> Cameras:
+    """Index a Cameras pytree by camera indices (jit-safe)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf[indices] if hasattr(leaf, "ndim") and leaf.ndim >= 1 else leaf,
+        cameras,
+    )
+
+
+class FlexibleDataManager(VanillaDataManager):
+    """Patch-warping data manager: each batch samples all rays from ONE
+    reference image and carries that image's source views
+    (reference base_datamanager.py:466-498 + get_src_from_pairs,
+    sdfstudio_dataparser.py:83-110).
+    """
+
+    def __init__(self, config, train_outputs, eval_outputs=None, neighbors_num: Optional[int] = None):
+        super().__init__(config, train_outputs, eval_outputs)
+        assert train_outputs.pairs_srcs is not None, (
+            "FlexibleDataManager needs pairs.txt (dataparser load_pairs=True)"
+        )
+        pairs = np.asarray(train_outputs.pairs_srcs)
+        if neighbors_num is not None:
+            pairs = pairs[:, : neighbors_num + 1]
+        self.pairs_srcs = jnp.asarray(pairs, jnp.int32)  # [N, 1 + num_src]
+
+    def sample_train_batch_flexible(
+        self,
+        rng: jax.Array,
+        num_rays: Optional[int] = None,
+        data: Optional[Dict[str, jnp.ndarray]] = None,
+    ):
+        """Like sample_train_batch but single-reference-image + src views.
+        Returns (ray_indices, batch, additional)."""
+        data = data if data is not None else self.train_data
+        R = num_rays or self.config.train_num_rays_per_batch
+        ki, ky, kx = jax.random.split(rng, 3)
+        ref = jax.random.randint(ki, (), 0, self.num_train_images)
+        cam = jnp.full((R,), ref, jnp.int32)
+        y = jax.random.randint(ky, (R,), 0, self.image_height)
+        x = jax.random.randint(kx, (R,), 0, self.image_width)
+        batch = {k: v[cam, y, x] for k, v in data.items()}
+        ray_indices = jnp.stack([cam, y, x], axis=-1)
+        src_idxs = self.pairs_srcs[ref]  # [1 + num_src]
+        additional = {
+            "uv": jnp.stack([y, x], axis=-1),
+            "src_idxs": src_idxs,
+            "src_imgs": data["image"][src_idxs],
+            "src_cameras": gather_cameras(self.train_cameras, src_idxs),
+        }
+        return ray_indices, batch, additional

@@ -36,6 +36,8 @@ def generate_sphere_dataset(
     cam_radius: float = 2.0,
     with_mono_prior: bool = True,
     with_fg_mask: bool = True,
+    with_pairs: bool = False,
+    num_pair_srcs: int = 4,
     seed: int = 0,
 ) -> Path:
     """Write a sphere scene dataset; returns out_dir."""
@@ -126,6 +128,20 @@ def generate_sphere_dataset(
             frame["foreground_mask"] = mname
 
         frames.append(frame)
+
+    if with_pairs:
+        # pairs.txt: per-image source views by ring adjacency
+        # (docs/sdfstudio-data.md pairs format: "ref.png src1.png src2.png ...")
+        lines = []
+        for i in range(num_images):
+            srcs = []
+            for d in range(1, num_pair_srcs // 2 + 1):
+                srcs += [(i - d) % num_images, (i + d) % num_images]
+            srcs = srcs[:num_pair_srcs]
+            lines.append(
+                " ".join([f"{i:06d}.png"] + [f"{s:06d}.png" for s in srcs])
+            )
+        (out_dir / "pairs.txt").write_text("\n".join(lines) + "\n")
 
     meta = {
         "camera_model": "OPENCV",

@@ -32,7 +32,17 @@ def setup_trainer(config: Config, test_mode: bool = False) -> Trainer:
     except Exception:
         eval_outputs = None
 
-    datamanager = VanillaDataManager(config.datamanager, train_outputs, eval_outputs)
+    if config.datamanager.kind == "flexible":
+        from sdfstudio_tpu.data.datamanager import FlexibleDataManager
+
+        datamanager = FlexibleDataManager(
+            config.datamanager,
+            train_outputs,
+            eval_outputs,
+            neighbors_num=config.datamanager.neighbors_num,
+        )
+    else:
+        datamanager = VanillaDataManager(config.datamanager, train_outputs, eval_outputs)
     model = config.model_class(
         config.model, train_outputs.scene_box, datamanager.num_train_images
     )

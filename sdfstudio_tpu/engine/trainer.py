@@ -122,7 +122,13 @@ class Trainer:
         sched = model.schedules(step_f)
         rng_sample, rng_model, rng_loss = jax.random.split(rng, 3)
 
-        ray_indices, batch = dm.sample_train_batch(rng_sample, data=train_data)
+        additional = None
+        if hasattr(dm, "sample_train_batch_flexible"):
+            ray_indices, batch, additional = dm.sample_train_batch_flexible(
+                rng_sample, data=train_data
+            )
+        else:
+            ray_indices, batch = dm.sample_train_batch(rng_sample, data=train_data)
         # shard the ray batch across the mesh's data axis
         ray_indices = mesh_lib.shard_leading_axis(ray_indices, self.mesh)
         batch = mesh_lib.shard_leading_axis(batch, self.mesh)
@@ -136,9 +142,14 @@ class Trainer:
         def loss_fn(params):
             cam_params = params.get("camera_opt")
             ray_bundle = dm.generate_rays(cam_params, ray_indices, cameras=cameras, train=True)
-            outputs = model.get_outputs(
-                params, ray_bundle, rng=rng_model, sched=sched, train=True, **model_kwargs
-            )
+            if additional is not None and hasattr(model, "get_outputs_flexible"):
+                outputs = model.get_outputs_flexible(
+                    params, ray_bundle, additional, rng=rng_model, sched=sched, train=True
+                )
+            else:
+                outputs = model.get_outputs(
+                    params, ray_bundle, rng=rng_model, sched=sched, train=True, **model_kwargs
+                )
             loss_dict = model.get_loss_dict(params, outputs, batch, sched, rng_loss)
             total = sum(loss_dict.values())
             metrics = model.get_metrics_dict(params, outputs, batch)

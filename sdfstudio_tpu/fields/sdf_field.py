@@ -39,6 +39,25 @@ from sdfstudio_tpu.ops.mlp import (
 FieldParams = Any  # params pytree of SDFFieldNet
 
 
+def analytic_sdf_gradient(
+    sdf_fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray, mode: str = "jvp"
+) -> jnp.ndarray:
+    """d sdf / d x for a per-point-independent sdf_fn ([N,3] -> [N]).
+
+    mode="reverse": one backward pass via grad-of-sum.
+    mode="jvp": three forward-mode passes with basis tangents (XLA CSEs the
+    shared primal); same values, different (TPU-compiler-friendly) program.
+    """
+    if mode == "reverse":
+        return jax.grad(lambda p: jnp.sum(sdf_fn(p)))(x)
+    gs = []
+    for i in range(3):
+        tangent = jnp.zeros_like(x).at[..., i].set(1.0)
+        _, gi = jax.jvp(sdf_fn, (x,), (tangent,))
+        gs.append(gi)
+    return jnp.stack(gs, axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDFFieldConfig:
     """Mirror of reference SDFFieldConfig (sdf_field.py:121-185)."""
@@ -73,6 +92,13 @@ class SDFFieldConfig:
     hash_features_per_level: int = 2
     hash_smoothstep: bool = True
     use_position_encoding: bool = True
+    analytic_gradient_mode: str = "jvp"  # jvp | reverse
+    """How analytic SDF input-gradients are computed. "jvp" takes 3
+    forward-mode passes (mathematically identical to reverse); it avoids a
+    reverse-to-input pattern through the hash encoding that crashes the TPU
+    compiler's fusion cost model (SIGILL in NormalizedComputationCost),
+    and under the outer training grad becomes reverse-over-forward, which
+    compiles cleanly."""
 
 
 class SDFFieldNet(nn.Module):
@@ -443,7 +469,9 @@ class SDFField:
                 return grads, jnp.moveaxis(sdf6, 0, -1)  # [N, 6]
             return grads
 
-        grads = jax.grad(lambda p: jnp.sum(geonet(p)[..., 0]))(x)
+        grads = analytic_sdf_gradient(
+            lambda p: geonet(p)[..., 0], x, mode=self.config.analytic_gradient_mode
+        )
         if return_sampled_sdf:
             return grads, None
         return grads
@@ -482,33 +510,53 @@ class SDFField:
         inputs = self.contract_positions(inputs)
         points_norm = jnp.linalg.norm(inputs, axis=-1)
 
-        geonet = self.geonetwork_fn(params, hash_mask)
-        h = geonet(inputs)
-        sdf, geo_feat = h[..., :1], h[..., 1:]
+        delta_arg = (
+            jnp.asarray(numerical_delta) if numerical_delta is not None else jnp.asarray(1e-4)
+        )
 
-        sampled_sdf = None
-        if self.config.use_numerical_gradients:
-            gradients, sampled_sdf = self.gradient(
-                params,
+        def core(params, inputs, directions, camera_indices, delta):
+            """Per-point field core: geonetwork + input-gradients + colors.
+
+            Rematerialized (jax.checkpoint): the eikonal double backprop
+            otherwise keeps every encoding/MLP intermediate alive into the
+            outer backward pass — at DTU scale that overflows HBM (observed
+            18GB vs 15.75GB on v5e)."""
+            geonet = self.geonetwork_fn(params, hash_mask)
+            h = geonet(inputs)
+            sdf, geo_feat = h[..., :1], h[..., 1:]
+
+            sampled_sdf = None
+            if self.config.use_numerical_gradients:
+                gradients, sampled_sdf = self.gradient(
+                    params,
+                    inputs,
+                    hash_mask=hash_mask,
+                    numerical_delta=delta,
+                    skip_spatial_distortion=True,
+                    return_sampled_sdf=True,
+                )
+            else:
+                gradients = analytic_sdf_gradient(
+                    lambda p: geonet(p)[..., 0],
+                    inputs,
+                    mode=self.config.analytic_gradient_mode,
+                )
+
+            rgb = self.module.apply(
+                {"params": params},
                 inputs,
-                hash_mask=hash_mask,
-                numerical_delta=numerical_delta,
-                skip_spatial_distortion=True,
-                return_sampled_sdf=True,
+                directions,
+                gradients,
+                geo_feat,
+                camera_indices,
+                train,
+                self.use_average_appearance_embedding,
+                method=SDFFieldNet.colors,
             )
-        else:
-            gradients = jax.grad(lambda p: jnp.sum(geonet(p)[..., 0]))(inputs)
+            return rgb, sdf, gradients, sampled_sdf
 
-        rgb = self.module.apply(
-            {"params": params},
-            inputs,
-            directions,
-            gradients,
-            geo_feat,
-            camera_indices,
-            train,
-            self.use_average_appearance_embedding,
-            method=SDFFieldNet.colors,
+        rgb, sdf, gradients, sampled_sdf = jax.checkpoint(core)(
+            params, inputs, directions, camera_indices, delta_arg
         )
 
         # scheduled beta-anneal overrides the learned laplace beta (the

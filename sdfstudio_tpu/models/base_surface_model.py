@@ -234,6 +234,36 @@ class SurfaceModel:
         return outputs
 
     # ------------------------------------------------------------------
+    def get_outputs_flexible(
+        self,
+        params,
+        ray_bundle: RayBundle,
+        additional_inputs: Dict,
+        rng: Optional[jax.Array] = None,
+        sched: Optional[Dict] = None,
+        train: bool = True,
+    ) -> Dict:
+        """get_outputs + Geo-NeuS patch warping from source views
+        (reference base_surface_model.py:367-397)."""
+        outputs = self.get_outputs(params, ray_bundle, rng=rng, sched=sched, train=train)
+        if self.config.patch_warp_loss_mult > 0 and "field_outputs" in outputs:
+            from sdfstudio_tpu.components.patch_warping import patch_warping
+
+            patches, valid = patch_warping(
+                outputs["ray_samples"],
+                outputs["field_outputs"]["sdf"],
+                outputs["field_outputs"]["normal"],
+                additional_inputs["src_cameras"],
+                additional_inputs["src_imgs"],
+                additional_inputs["uv"],
+                patch_size=self.config.patch_size,
+                valid_angle_thres=self.config.patch_warp_angle_thres,
+            )
+            outputs["patches"] = patches
+            outputs["patches_valid_mask"] = valid
+        return outputs
+
+    # ------------------------------------------------------------------
     def get_loss_dict(
         self,
         params,

@@ -283,7 +283,6 @@ class HashEncoding(nn.Module):
             (self.table_size * self.num_levels, self.features_per_level),
         )
         idx, offset = self.corner_indices(x)  # [..., L, 8], [..., L, 3]
-        feats = jnp.take(table, idx, axis=0)  # [..., L, 8, F]
 
         w = offset
         if self.smoothstep:
@@ -297,8 +296,25 @@ class HashEncoding(nn.Module):
             1.0 - w[..., None, :]
         )  # [..., L, 8, 3]
         weights = jnp.prod(cw, axis=-1)  # [..., L, 8]
-        out = jnp.sum(feats * weights[..., None], axis=-2)  # [..., L, F]
-        return out.reshape(*x.shape[:-1], self.out_dim)
+
+        # TPU layout note: gather results and weights are flattened so the
+        # minor-most dimension is L*8 (=128 at default settings) — a
+        # [..., L, 8, F] gather output would be tile-padded 16-64x in HBM
+        # (observed 18GB/15.75GB OOM at DTU scale). Features are gathered
+        # SOA ([F, ..., L*8]) and contracted per feature.
+        batch = x.shape[:-1]
+        K = self.num_levels * 8
+        idx_flat = idx.reshape(*batch, K)
+        w_flat = weights.reshape(*batch, K)
+        table_t = table.T  # [F, L*T]
+        feats = jnp.take(table_t, idx_flat, axis=1)  # [F, ..., K]
+        weighted = feats * w_flat[None]  # [F, ..., K]
+        per_level = jnp.sum(
+            weighted.reshape(self.features_per_level, *batch, self.num_levels, 8),
+            axis=-1,
+        )  # [F, ..., L]
+        out = jnp.moveaxis(per_level, 0, -1)  # [..., L, F]
+        return out.reshape(*batch, self.out_dim)
 
 
 class PeriodicVolumeEncoding(nn.Module):

@@ -224,3 +224,16 @@ def test_eikonal_double_backprop():
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_jvp_gradient_matches_reverse():
+    """analytic_gradient_mode=jvp must equal reverse-mode exactly."""
+    from sdfstudio_tpu.fields.sdf_field import analytic_sdf_gradient
+
+    field = small_field(use_grid_feature=True)
+    params = field.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (32, 3), minval=-1, maxval=1)
+    sdf_fn = lambda p: field.geonetwork_fn(params)(p)[..., 0]
+    g_rev = analytic_sdf_gradient(sdf_fn, x, mode="reverse")
+    g_jvp = analytic_sdf_gradient(sdf_fn, x, mode="jvp")
+    np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_jvp), rtol=1e-4, atol=1e-5)

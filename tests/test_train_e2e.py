@@ -123,3 +123,34 @@ def test_train_full_loop_runs(sphere_data, tmp_path):
     trainer.setup()
     state = trainer.train()
     assert int(state.step) == 6
+
+
+def test_flexible_datamanager_geo_neus(tmp_path):
+    """geo-neus: single-ref-image batches + patch warping through the
+    flexible pipeline."""
+    import dataclasses
+
+    from sdfstudio_tpu.scripts.train import parse_args
+    from sdfstudio_tpu.engine.setup import setup_trainer
+    from tests.test_all_methods import shrink
+
+    data = tmp_path / "sphere_pairs"
+    generate_sphere_dataset(data, num_images=6, width=40, height=40,
+                            with_mono_prior=False, with_fg_mask=False, with_pairs=True)
+    config = parse_args(["geo-neus", "sdfstudio-data", "--data", str(data),
+                         "--load-pairs", "True", "--include-sfm-points", "False"])
+    config = shrink(config)
+    # re-enable the patch loss that shrink() turns off, with a tiny patch
+    config.model = dataclasses.replace(
+        config.model, patch_warp_loss_mult=0.1, patch_size=3, topk=2
+    )
+    config.output_dir = tmp_path
+    config.timestamp = "t"
+    trainer = setup_trainer(config, test_mode=True)
+    trainer.setup(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        trainer.state, metrics = trainer._train_step(trainer.state, sub)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "patch_loss" in metrics
