@@ -47,6 +47,41 @@ def _register_dataparsers():
         DATAPARSERS["nerfstudio-data"] = (NerfstudioDataParserConfig, Nerfstudio)
     except ImportError:
         pass
+    from sdfstudio_tpu.data.dataparsers.colmap_family import (
+        Heritage,
+        HeritageDataParserConfig,
+        Mipnerf360,
+        Mipnerf360DataParserConfig,
+        Phototourism,
+        PhototourismDataParserConfig,
+    )
+    from sdfstudio_tpu.data.dataparsers.misc_parsers import (
+        DNeRF,
+        DNeRFDataParserConfig,
+        Friends,
+        FriendsDataParserConfig,
+        InstantNGP,
+        InstantNGPDataParserConfig,
+        Record3D,
+        Record3DDataParserConfig,
+    )
+    from sdfstudio_tpu.data.dataparsers.monosdf import (
+        MonoSDFDataParserConfig,
+        MonoSDFScene,
+    )
+
+    DATAPARSERS.update(
+        {
+            "monosdf-data": (MonoSDFDataParserConfig, MonoSDFScene),
+            "mipnerf360-data": (Mipnerf360DataParserConfig, Mipnerf360),
+            "phototourism-data": (PhototourismDataParserConfig, Phototourism),
+            "heritage-data": (HeritageDataParserConfig, Heritage),
+            "instant-ngp-data": (InstantNGPDataParserConfig, InstantNGP),
+            "dnerf-data": (DNeRFDataParserConfig, DNeRF),
+            "record3d-data": (Record3DDataParserConfig, Record3D),
+            "friends-data": (FriendsDataParserConfig, Friends),
+        }
+    )
 
 
 def _print_help():
@@ -134,6 +169,10 @@ def main(config: Config):
     import jax
 
     trainer.setup(jax.random.PRNGKey(config.seed))
+    if config.vis == "viewer":
+        from sdfstudio_tpu.viewer.server import setup_viewer
+
+        setup_viewer(trainer)
     trainer.train()
     print("training finished", flush=True)
 

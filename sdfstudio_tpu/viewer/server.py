@@ -1,0 +1,189 @@
+"""Interactive training viewer.
+
+Functional spec: reference nerfstudio/viewer/* (ZMQ<->WebSocket bridge +
+React/three.js SPA, viewer_utils.py:59-731). Redesigned as a single
+self-contained HTTP server + embedded vanilla-JS orbit viewer (the
+environment has no npm/CDN access for a React bundle): the browser posts an
+orbit camera, the server renders through the trainer's jitted chunked
+render fn against the CURRENT training state and streams PNGs back.
+Progressive resolution mirrors the reference's adaptive-res behavior
+(viewer_utils.py:554).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+VIEWER_HTML = """<!DOCTYPE html>
+<html><head><title>sdfstudio-tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace}
+#hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px 10px;border-radius:4px}
+canvas{display:block;margin:auto;image-rendering:pixelated}
+select{background:#222;color:#ddd;border:1px solid #555}
+</style></head><body>
+<div id="hud">sdfstudio-tpu viewer &mdash; drag: orbit, wheel: zoom
+ | output <select id="output"><option>rgb</option><option>depth</option><option>normal_vis</option><option>accumulation</option></select>
+ <span id="stats"></span></div>
+<canvas id="c" width="512" height="512"></canvas>
+<script>
+const canvas = document.getElementById('c');
+const ctx = canvas.getContext('2d');
+let az = 0.8, el = 0.5, radius = 2.5, busy = false, dirty = true, lowres = true;
+let drag = null;
+canvas.onmousedown = e => drag = [e.clientX, e.clientY];
+window.onmouseup = () => drag = null;
+window.onmousemove = e => { if (drag) { az += (e.clientX-drag[0])*0.01; el += (e.clientY-drag[1])*0.01;
+  el = Math.max(-1.5, Math.min(1.5, el)); drag=[e.clientX,e.clientY]; dirty=true; lowres=true; } };
+canvas.onwheel = e => { radius *= Math.exp(e.deltaY*0.001); dirty=true; lowres=true; e.preventDefault(); };
+document.getElementById('output').onchange = () => { dirty=true; lowres=true; };
+async function loop(){
+  if ((dirty || lowres) && !busy) {
+    busy = true; const wasLow = lowres;
+    const res = wasLow ? 96 : 384;
+    dirty = false; if (!wasLow) lowres = false;
+    const t0 = performance.now();
+    try {
+      const r = await fetch('/render', {method:'POST', body: JSON.stringify({
+        azimuth: az, elevation: el, radius: radius, width: res, height: res,
+        output: document.getElementById('output').value})});
+      const blob = await r.blob();
+      const img = await createImageBitmap(blob);
+      ctx.imageSmoothingEnabled = false;
+      ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+      document.getElementById('stats').textContent =
+        ' | ' + res + 'px in ' + Math.round(performance.now()-t0) + 'ms';
+      if (wasLow) { lowres = false; dirty = true; }
+    } catch (err) { console.log(err); }
+    busy = false;
+  }
+  requestAnimationFrame(loop);
+}
+loop();
+</script></body></html>"""
+
+
+class ViewerState:
+    """Holds the trainer handle + render lock."""
+
+    def __init__(self, trainer):
+        self.trainer = trainer
+        self.lock = threading.Lock()
+
+    def render_pose(self, azimuth, elevation, radius, width, height, output="rgb"):
+        import jax
+        import jax.numpy as jnp
+
+        from sdfstudio_tpu.cameras.cameras import Cameras
+        from sdfstudio_tpu.cameras.camera_utils import viewmatrix
+
+        center = np.array(
+            [
+                radius * np.cos(azimuth) * np.cos(elevation),
+                radius * np.sin(azimuth) * np.cos(elevation),
+                radius * np.sin(elevation),
+            ]
+        )
+        lookat = center  # towards origin
+        up = np.array([0.0, 0.0, 1.0])
+        pose = viewmatrix(-lookat, up, center)[None]
+        focal = 0.9 * width
+        cams = Cameras.create(
+            camera_to_worlds=pose,
+            fx=focal,
+            fy=focal,
+            cx=width / 2.0,
+            cy=height / 2.0,
+            width=width,
+            height=height,
+        )
+        trainer = self.trainer
+        with self.lock:
+            bundle = cams.generate_image_rays(0)
+            chunk = min(
+                trainer.model.config.eval_num_rays_per_chunk, width * height
+            )
+            n = bundle.origins.shape[0]
+            n_pad = ((n + chunk - 1) // chunk) * chunk
+            pad = n_pad - n
+            bundle = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n and pad
+                else x,
+                bundle,
+            )
+            outs = []
+            step = trainer.state.step.astype(jnp.float32)
+            for i in range(n_pad // chunk):
+                sl = jax.tree_util.tree_map(
+                    lambda x: x[i * chunk : (i + 1) * chunk]
+                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_pad
+                    else x,
+                    bundle,
+                )
+                outs.append(
+                    trainer._render_chunk(
+                        trainer.state.params, sl, step, trainer.state.model_state
+                    )
+                )
+            merged = {
+                k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
+                for k in outs[0]
+            }
+        img = merged.get(output, merged["rgb"]).reshape(height, width, -1)
+        if output == "depth":
+            from sdfstudio_tpu.utils.colormaps import apply_depth_colormap
+
+            img = apply_depth_colormap(img)
+        elif img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def _make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(VIEWER_HTML.encode())
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            img = state.render_pose(
+                req.get("azimuth", 0.0),
+                req.get("elevation", 0.3),
+                req.get("radius", 2.5),
+                int(req.get("width", 128)),
+                int(req.get("height", 128)),
+                req.get("output", "rgb"),
+            )
+            import imageio.v2 as imageio
+
+            buf = io.BytesIO()
+            imageio.imwrite(buf, img, format="png")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.end_headers()
+            self.wfile.write(buf.getvalue())
+
+    return Handler
+
+
+def setup_viewer(trainer, port: int = 7007) -> ViewerState:
+    """Start the viewer server in a daemon thread (the analog of
+    reference viewer_utils.setup_viewer)."""
+    state = ViewerState(trainer)
+    server = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(state))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    print(f"viewer running at http://localhost:{port}", flush=True)
+    return state
