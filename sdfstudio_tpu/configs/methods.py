@@ -621,6 +621,96 @@ method_configs["tensorf"] = Config(
 )
 
 
+# --- neusW (method_configs.py:899-936) --------------------------------------
+from sdfstudio_tpu.data.dataparsers.colmap_family import Heritage, HeritageDataParserConfig
+from sdfstudio_tpu.models.neuralreconW import NeuralReconWModel, NeuralReconWModelConfig
+
+method_configs["neusW"] = _surface_cfg(
+    "neusW",
+    NeuralReconWModel,
+    NeuralReconWModelConfig(
+        background_model="grid",
+        num_samples_outside=4,
+        eikonal_loss_mult=1e-4,
+        eval_num_rays_per_chunk=1024,
+    ),
+    {
+        "field": OptimizerGroupConfig(_adam(1e-3), _neus_sched(500, 0.05, 300000)),
+        "field_background": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
+    },
+    dict(max_num_iterations=100000, steps_per_eval_image=5000, steps_per_save=5000),
+    rays_per_batch=2048,
+)
+method_configs["neusW"].dataparser = HeritageDataParserConfig()
+method_configs["neusW"].dataparser_class = Heritage
+
+# --- dto (method_configs.py:862-897) ----------------------------------------
+from sdfstudio_tpu.models.dto import DtoOModel, DtoOModelConfig
+
+method_configs["dto"] = _surface_cfg(
+    "dto",
+    DtoOModel,
+    DtoOModelConfig(eval_num_rays_per_chunk=1 << 10),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
+        "field": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
+        "occupancy_field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 300000)),
+    },
+    dict(max_num_iterations=100000, steps_per_eval_image=2000, steps_per_save=5000),
+    rays_per_batch=2048,
+)
+
+# --- semantic-nerfw (method_configs.py:1048-1066) ---------------------------
+from sdfstudio_tpu.data.dataparsers.misc_parsers import Friends, FriendsDataParserConfig
+from sdfstudio_tpu.models.semantic_nerfw import SemanticNerfWModel, SemanticNerfWModelConfig
+
+method_configs["semantic-nerfw"] = Config(
+    method_name="semantic-nerfw",
+    trainer=TrainerConfig(steps_per_eval_batch=500, steps_per_save=2000, max_num_iterations=30000),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096),
+    model=SemanticNerfWModelConfig(eval_num_rays_per_chunk=1 << 16),
+    model_class=SemanticNerfWModel,
+    dataparser=FriendsDataParserConfig(),
+    dataparser_class=Friends,
+    optimizers={
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2)),
+        "field": OptimizerGroupConfig(_adam(1e-2)),
+    },
+)
+
+# --- phototourism (method_configs.py:1111-1140) -----------------------------
+from sdfstudio_tpu.data.dataparsers.colmap_family import (
+    Phototourism,
+    PhototourismDataParserConfig,
+)
+
+method_configs["phototourism"] = Config(
+    method_name="phototourism",
+    trainer=TrainerConfig(steps_per_eval_batch=500, steps_per_save=2000, max_num_iterations=30000),
+    datamanager=DataManagerConfig(
+        train_num_rays_per_batch=4096,
+        eval_num_rays_per_batch=4096,
+        camera_optimizer=CameraOptimizerConfig(mode="SO3xR3"),
+    ),
+    model=NerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
+    model_class=NerfactoModel,
+    dataparser=PhototourismDataParserConfig(),
+    dataparser_class=Phototourism,
+    optimizers={
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2)),
+        "field": OptimizerGroupConfig(_adam(1e-2)),
+    },
+)
+
+descriptions.update({
+    "neusW": "Neural reconstruction in the wild (heritage).",
+    "dto": "Occupancy field distilled from density-guided sampling.",
+    "semantic-nerfw": "Semantic segmentation + transient filtering.",
+    "phototourism": "Nerfacto on phototourism captures.",
+    "dnerf": "Dynamic NeRF with temporal deformation.",
+    "vanilla-nerf": "Original NeRF.",
+})
+
 # geo-* methods sample rays from a single reference image with source views
 import dataclasses as _dc
 

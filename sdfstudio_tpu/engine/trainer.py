@@ -84,6 +84,12 @@ class Trainer:
         params = self.model.init(k_model)
         if self.datamanager.config.camera_optimizer.mode != "off":
             params["camera_opt"] = self.datamanager.init_camera_opt(k_cam)
+        # strip weak types: init leaves created from python scalars are
+        # weak-typed and become strong after the first optimizer update,
+        # which would silently recompile the train step (minutes on TPU)
+        params = jax.tree_util.tree_map(
+            lambda x: jax.lax.convert_element_type(x, x.dtype), params
+        )
         self.tx = build_optimizer(self.optimizer_groups, params)
         opt_state = self.tx.init(params)
         model_state = (
@@ -91,11 +97,17 @@ class Trainer:
             if hasattr(self.model, "init_model_state")
             else None
         )
+        # place the initial state with the mesh's replicated sharding so the
+        # FIRST train-step compile already sees the steady-state shardings
+        # (otherwise the second step recompiles — minutes on TPU)
+        replicated = mesh_lib.replicated(self.mesh)
         self.state = TrainState(
-            step=jnp.asarray(0, jnp.int32),
-            params=params,
-            opt_state=opt_state,
-            model_state=model_state,
+            step=jax.device_put(jnp.asarray(0, jnp.int32), replicated),
+            params=jax.device_put(params, replicated),
+            opt_state=jax.device_put(opt_state, replicated),
+            model_state=(
+                jax.device_put(model_state, replicated) if model_state is not None else None
+            ),
         )
         if hasattr(self.model, "update_model_state"):
             self._jit_update_model_state = jax.jit(self.model.update_model_state)
