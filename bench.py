@@ -64,7 +64,7 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
     rays_per_sec = num_steps * num_rays / dt
     print(
         f"steps={num_steps} rays/batch={num_rays} time={dt:.2f}s "
-        f"it/s={num_steps / dt:.2f} loss={float(metrics['loss']):.4f}",
+        f"it/s={num_steps / dt:.2f} loss={trainer.unpack_metrics(metrics)['loss']:.4f}",
         file=sys.stderr,
     )
     print(

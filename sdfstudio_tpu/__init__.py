@@ -1,0 +1,3 @@
+"""sdfstudio-tpu: TPU-native neural implicit surface reconstruction."""
+
+__version__ = "0.1.0"

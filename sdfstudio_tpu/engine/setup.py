@@ -23,6 +23,9 @@ def setup_trainer(config: Config, test_mode: bool = False) -> Trainer:
         import jax
 
         jax.config.update("jax_default_matmul_precision", config.matmul_precision)
+    from sdfstudio_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if config.data is not None:
         config.dataparser.data = Path(config.data)
     parser = config.dataparser_class(config.dataparser)

@@ -42,6 +42,9 @@ class TrainerConfig:
     save_only_latest_checkpoint: bool = True
     load_dir: Optional[Path] = None
     load_step: Optional[int] = None
+    accumulate_grad_steps: int = 1
+    """Gradient accumulation: grads averaged over N sub-batches per update
+    via lax.scan (reference trainer.py:317-321)."""
 
 
 @struct.dataclass
@@ -134,13 +137,17 @@ class Trainer:
         sched = model.schedules(step_f)
         rng_sample, rng_model, rng_loss = jax.random.split(rng, 3)
 
+        accum = max(self.config.accumulate_grad_steps, 1)
         additional = None
         if hasattr(dm, "sample_train_batch_flexible"):
             ray_indices, batch, additional = dm.sample_train_batch_flexible(
                 rng_sample, data=train_data
             )
         else:
-            ray_indices, batch = dm.sample_train_batch(rng_sample, data=train_data)
+            ray_indices, batch = dm.sample_train_batch(
+                rng_sample, data=train_data,
+                num_rays=dm.config.train_num_rays_per_batch * accum,
+            )
         # shard the ray batch across the mesh's data axis
         ray_indices = mesh_lib.shard_leading_axis(ray_indices, self.mesh)
         batch = mesh_lib.shard_leading_axis(batch, self.mesh)
@@ -167,9 +174,45 @@ class Trainer:
             metrics = model.get_metrics_dict(params, outputs, batch)
             return total, (loss_dict, metrics)
 
-        (loss, (loss_dict, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if accum > 1 and additional is None:
+            # accumulate grads over sub-batches with a scan (constant memory)
+            R = dm.config.train_num_rays_per_batch
+            idx_chunks = ray_indices.reshape(accum, R, 3)
+            batch_chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape(accum, R, *x.shape[1:]), batch
+            )
+
+            def chunk_grads(carry, inp):
+                idx_c, batch_c = inp
+
+                def loss_c(params):
+                    cam_params = params.get("camera_opt")
+                    rb = dm.generate_rays(cam_params, idx_c, cameras=cameras, train=True)
+                    outputs = model.get_outputs(
+                        params, rb, rng=rng_model, sched=sched, train=True, **model_kwargs
+                    )
+                    ld = model.get_loss_dict(params, outputs, batch_c, sched, rng_loss)
+                    metrics = model.get_metrics_dict(params, outputs, batch_c)
+                    return sum(ld.values()), (ld, metrics)
+
+                (l, aux), g = jax.value_and_grad(loss_c, has_aux=True)(state.params)
+                acc_g, acc_l = carry
+                return (
+                    jax.tree_util.tree_map(jnp.add, acc_g, g),
+                    acc_l + l,
+                ), aux
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (sum_g, sum_l), auxs = jax.lax.scan(
+                chunk_grads, (zero_g, jnp.asarray(0.0)), (idx_chunks, batch_chunks)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, sum_g)
+            loss = sum_l / accum
+            loss_dict, metrics = jax.tree_util.tree_map(lambda x: x[-1], auxs)
+        else:
+            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -179,7 +222,16 @@ class Trainer:
             model_state=state.model_state,
         )
         out = {"loss": loss, **loss_dict, **metrics}
-        return new_state, out
+        # pack metrics into ONE vector: each device->host transfer costs
+        # ~2s through the axon relay, so a dict of scalars is ~2s x len
+        # per fetch; a single [K] array is one transfer
+        self._metric_keys = sorted(out.keys())
+        metrics_vec = jnp.stack([jnp.asarray(out[k], jnp.float32) for k in self._metric_keys])
+        return new_state, metrics_vec
+
+    def unpack_metrics(self, metrics_vec) -> Dict[str, float]:
+        vals = np.asarray(metrics_vec)  # one transfer
+        return {k: float(v) for k, v in zip(self._metric_keys, vals)}
 
     def maybe_update_model_state(self, rng: jax.Array):
         """Run the model's grid-update callback at its cadence (the analog of
@@ -273,16 +325,22 @@ class Trainer:
         num_rays = self.datamanager.config.train_num_rays_per_batch
 
         start_step = int(self.state.step)
+        window_t0 = time.perf_counter()
+        window_steps = 0
         for step in range(start_step, max_iters):
-            t0 = time.perf_counter()
             rng, sub = jax.random.split(rng)
             rng, grid_rng = jax.random.split(rng)
             self.maybe_update_model_state(grid_rng)
             self.state, metrics = self._train_step(self.state, sub)
+            window_steps += 1
             if step % cfg.steps_per_log == 0 or step == max_iters - 1:
-                metrics = {k: float(v) for k, v in metrics.items()}
+                # steps dispatch asynchronously; timing must cover the whole
+                # window up to this sync, divided by the steps in the window
+                metrics = self.unpack_metrics(metrics)  # ONE transfer
                 jax.block_until_ready(self.state.params)
-                dt = time.perf_counter() - t0
+                dt = (time.perf_counter() - window_t0) / max(window_steps, 1)
+                window_t0 = time.perf_counter()
+                window_steps = 0
                 self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step)
                 self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step)
                 self.writer.put_dict(metrics, step)

@@ -20,6 +20,7 @@ def main(
     bounding_box_max=(1.0, 1.0, 1.0),
     is_occupancy: bool = False,
     use_contraction: bool = False,
+    create_visibility_mask: bool = False,
     chunk: int = 131072,
 ):
     from sdfstudio_tpu.engine.setup import eval_setup
@@ -36,12 +37,23 @@ def main(
     sdf_raw = model.field.sdf_fn(field_params)
 
     if use_contraction:
-        # queries arrive already in contracted space
+        # queries arrive already in contracted space; optionally restrict to
+        # observed space via the visibility mask (base_pipeline.py:370-424)
+        vis_fn = None
+        if create_visibility_mask:
+            from sdfstudio_tpu.utils.visibility import (
+                compute_visibility_mask,
+                visibility_mask_fn,
+            )
+
+            mask = compute_visibility_mask(trainer)
+            vis_fn = visibility_mask_fn(mask)
         mesh = get_surface_sliding_with_contraction(
             lambda pts: sdf_raw(pts),
             resolution=resolution,
             bounding_box_min=(-2.0, -2.0, -2.0),
             bounding_box_max=(2.0, 2.0, 2.0),
+            visibility_mask_fn=vis_fn,
             order=np.inf if model.config.scene_contraction_norm == "inf" else None,
             chunk=chunk,
         )
@@ -75,6 +87,7 @@ def entrypoint():
     p.add_argument("--bounding-box-max", type=float, nargs=3, default=(1.0, 1.0, 1.0))
     p.add_argument("--is-occupancy", action="store_true")
     p.add_argument("--use-contraction", action="store_true", dest="use_contraction")
+    p.add_argument("--create-visibility-mask", action="store_true", dest="create_visibility_mask")
     p.add_argument("--chunk", type=int, default=131072)
     a = p.parse_args()
     main(
@@ -85,6 +98,7 @@ def entrypoint():
         a.bounding_box_max,
         a.is_occupancy,
         a.use_contraction,
+        a.create_visibility_mask,
         a.chunk,
     )
 

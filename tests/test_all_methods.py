@@ -108,7 +108,8 @@ def test_method_smoke_train(method, sphere_data, tmp_path):
     for _ in range(2):
         rng, sub = jax.random.split(rng)
         trainer.state, metrics = trainer._train_step(trainer.state, sub)
-    assert np.isfinite(float(metrics["loss"])), f"{method} loss not finite"
+    metrics = trainer.unpack_metrics(metrics)
+    assert np.isfinite(metrics["loss"]), f"{method} loss not finite"
     out = trainer.render_image(trainer.state.params, 0)
     assert out["rgb"].shape == (40, 40, 3)
     assert np.all(np.isfinite(out["rgb"]))

@@ -99,7 +99,7 @@ def test_train_loop_loss_falls_and_checkpoints(sphere_data, tmp_path):
     for i in range(60):
         rng, sub = jax.random.split(rng)
         trainer.state, metrics = trainer._train_step(trainer.state, sub)
-        losses.append(float(metrics["rgb_loss"]))
+        losses.append(trainer.unpack_metrics(metrics)["rgb_loss"])
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
     # eval render produces an image
     m = trainer.eval_image_metrics(0)
@@ -152,5 +152,24 @@ def test_flexible_datamanager_geo_neus(tmp_path):
     for _ in range(2):
         rng, sub = jax.random.split(rng)
         trainer.state, metrics = trainer._train_step(trainer.state, sub)
-    assert np.isfinite(float(metrics["loss"]))
+    metrics = trainer.unpack_metrics(metrics)
+    assert np.isfinite(metrics["loss"])
     assert "patch_loss" in metrics
+
+
+def test_gradient_accumulation(sphere_data, tmp_path):
+    """accumulate_grad_steps=2 runs and produces finite params."""
+    import dataclasses
+
+    trainer = build_trainer(sphere_data, tmp_path / "run", max_iters=4)
+    trainer.config = dataclasses.replace(trainer.config, accumulate_grad_steps=2)
+    trainer.setup()
+    rng = jax.random.PRNGKey(0)
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        trainer.state, metrics = trainer._train_step(trainer.state, sub)
+    assert np.isfinite(trainer.unpack_metrics(metrics)["loss"])
+    assert all(
+        bool(jnp.all(jnp.isfinite(l)))
+        for l in jax.tree_util.tree_leaves(trainer.state.params)
+    )
