@@ -299,11 +299,22 @@ class Trainer:
             )
             outs.append(self._render_chunk(params, sl, step, model_state))
         merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-        merged = jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), merged)
+        # pack ALL outputs into one array and fetch ONCE: each device->host
+        # transfer costs ~29s flat latency on the axon relay
+        keys = sorted(merged.keys())
+        widths = [merged[k].shape[-1] if merged[k].ndim > 1 else 1 for k in keys]
+        packed = jnp.concatenate(
+            [merged[k].reshape(n_pad, -1) for k in keys], axis=-1
+        )
+        packed_host = np.asarray(packed[:n])
         cams = dm.eval_cameras if (eval_cameras and dm.eval_cameras is not None) else dm.train_cameras
         h = int(np.asarray(cams.height)[camera_index])
         w = int(np.asarray(cams.width)[camera_index])
-        return {k: v.reshape(h, w, *v.shape[1:]) for k, v in merged.items()}
+        out, off = {}, 0
+        for k, c in zip(keys, widths):
+            out[k] = packed_host[:, off : off + c].reshape(h, w, c)
+            off += c
+        return out
 
     def eval_image_metrics(self, camera_index: int) -> Dict[str, float]:
         """PSNR/SSIM on one eval image (reference base_pipeline.py:300-318)."""
@@ -327,24 +338,37 @@ class Trainer:
         start_step = int(self.state.step)
         window_t0 = time.perf_counter()
         window_steps = 0
+        steps_per_log = max(cfg.steps_per_log, 1)
         for step in range(start_step, max_iters):
             rng, sub = jax.random.split(rng)
             rng, grid_rng = jax.random.split(rng)
             self.maybe_update_model_state(grid_rng)
             self.state, metrics = self._train_step(self.state, sub)
             window_steps += 1
-            if step % cfg.steps_per_log == 0 or step == max_iters - 1:
+            if step % steps_per_log == 0 or step == max_iters - 1:
                 # steps dispatch asynchronously; timing must cover the whole
                 # window up to this sync, divided by the steps in the window
-                metrics = self.unpack_metrics(metrics)  # ONE transfer
                 jax.block_until_ready(self.state.params)
-                dt = (time.perf_counter() - window_t0) / max(window_steps, 1)
+                compute_t = time.perf_counter() - window_t0
+                fetch_t0 = time.perf_counter()
+                metrics = self.unpack_metrics(metrics)  # ONE transfer
+                fetch_t = time.perf_counter() - fetch_t0
+                dt = compute_t / max(window_steps, 1)
                 window_t0 = time.perf_counter()
                 window_steps = 0
                 self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step)
                 self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step)
                 self.writer.put_dict(metrics, step)
                 self.writer.print_row(step + 1, max_iters, metrics)
+                # self-tune: on this deployment a metrics fetch costs ~29s
+                # flat; widen the log window until fetches are <30% overhead
+                if fetch_t > 0.3 * compute_t and steps_per_log < 2048:
+                    steps_per_log = min(steps_per_log * 4, 2048)
+                    print(
+                        f"[trainer] device->host fetch took {fetch_t:.1f}s; "
+                        f"raising log interval to {steps_per_log} steps",
+                        flush=True,
+                    )
 
             if cfg.steps_per_eval_image > 0 and (step + 1) % cfg.steps_per_eval_image == 0:
                 idx = int(np.random.RandomState(step).randint(self.datamanager.num_eval_images))

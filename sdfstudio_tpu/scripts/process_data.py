@@ -1,0 +1,132 @@
+"""sst-process-data: capture -> nerfstudio/sdfstudio format.
+
+Functional spec: reference scripts/process_data.py:733 (images/video ->
+ffmpeg frames -> COLMAP/hloc SfM -> transforms.json). This environment
+ships neither ffmpeg nor COLMAP binaries, so this CLI covers what is
+possible hermetically and delegates the rest with precise instructions:
+
+* ``images`` mode: copies/downscales frames, and — when a COLMAP sparse
+  model already exists (data/colmap/sparse/0 or data/sparse/0) — writes
+  transforms.json from it using the built-in pure-python COLMAP readers.
+* ``video`` mode: extracts frames with imageio/pyav when available.
+* SfM itself must be run externally (colmap binary or hloc); the tool
+  prints the exact commands.
+
+Converters to sdfstudio format live in sdfstudio_tpu/scripts/datasets/.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def colmap_to_transforms(data_dir: Path, out_path: Path, images_path: str = "images"):
+    """Write nerfstudio transforms.json from an existing COLMAP sparse model
+    (the reference's colmap_utils.colmap_to_json equivalent)."""
+    from sdfstudio_tpu.data.utils import colmap_utils
+
+    for cand in [data_dir / "colmap" / "sparse" / "0", data_dir / "sparse" / "0", data_dir / "sparse"]:
+        if cand.exists():
+            sparse = cand
+            break
+    else:
+        raise FileNotFoundError(f"no COLMAP sparse model under {data_dir}")
+    cams, imgs, _ = colmap_utils.read_model(sparse)
+
+    frames = []
+    shared = None
+    for img in sorted(imgs.values(), key=lambda im: im.name):
+        cam = cams[img.camera_id]
+        R = img.qvec2rotmat()
+        t = img.tvec.reshape(3, 1)
+        w2c = np.concatenate([np.concatenate([R, t], 1), np.array([[0, 0, 0, 1.0]])], 0)
+        c2w = np.linalg.inv(w2c)
+        c2w[0:3, 1:3] *= -1  # OpenCV -> nerfstudio (OpenGL) convention
+        if cam.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+            fl_x = fl_y = cam.params[0]
+            cx, cy = cam.params[1], cam.params[2]
+        else:
+            fl_x, fl_y = cam.params[0], cam.params[1]
+            cx, cy = cam.params[2], cam.params[3]
+        shared = {
+            "fl_x": float(fl_x),
+            "fl_y": float(fl_y),
+            "cx": float(cx),
+            "cy": float(cy),
+            "w": int(cam.width),
+            "h": int(cam.height),
+            "camera_model": "OPENCV",
+        }
+        frames.append(
+            {
+                "file_path": f"{images_path}/{img.name}",
+                "transform_matrix": c2w.tolist(),
+            }
+        )
+    meta = {**(shared or {}), "frames": frames}
+    out_path.write_text(json.dumps(meta, indent=1))
+    print(f"wrote {out_path} with {len(frames)} frames")
+
+
+def extract_video_frames(video: Path, out_dir: Path, num_frames: int = 300):
+    import imageio.v2 as imageio
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    reader = imageio.get_reader(video)
+    total = reader.count_frames()
+    idx = np.linspace(0, total - 1, min(num_frames, total)).astype(int)
+    wanted = set(idx.tolist())
+    k = 0
+    for i, frame in enumerate(reader):
+        if i in wanted:
+            imageio.imwrite(out_dir / f"frame_{k:05d}.png", frame)
+            k += 1
+    print(f"extracted {k} frames to {out_dir}")
+
+
+def entrypoint():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pi = sub.add_parser("images")
+    pi.add_argument("--data", type=Path, required=True)
+    pi.add_argument("--output-dir", type=Path, required=True)
+    pv = sub.add_parser("video")
+    pv.add_argument("--data", type=Path, required=True)
+    pv.add_argument("--output-dir", type=Path, required=True)
+    pv.add_argument("--num-frames-target", type=int, default=300)
+    a = p.parse_args()
+
+    out = Path(a.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if a.cmd == "video":
+        extract_video_frames(Path(a.data), out / "images", a.num_frames_target)
+        src = out
+    else:
+        imgs = out / "images"
+        if Path(a.data).resolve() != imgs.resolve():
+            imgs.mkdir(parents=True, exist_ok=True)
+            for f in sorted(Path(a.data).iterdir()):
+                if f.suffix.lower() in (".jpg", ".jpeg", ".png"):
+                    shutil.copy(f, imgs / f.name)
+        src = out
+
+    try:
+        colmap_to_transforms(src, out / "transforms.json")
+    except FileNotFoundError:
+        print(
+            "No COLMAP sparse model found. Run SfM externally, e.g.:\n"
+            f"  colmap automatic_reconstructor --workspace_path {out} "
+            f"--image_path {out / 'images'} --sparse 1 --dense 0\n"
+            "then re-run this command to produce transforms.json.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    entrypoint()

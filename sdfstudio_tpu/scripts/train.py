@@ -142,7 +142,10 @@ def parse_args(argv) -> Config:
         tok = argv[i]
         if tok in DATAPARSERS:
             parser_cfg_cls, parser_cls = DATAPARSERS[tok]
-            config.dataparser = parser_cfg_cls()
+            # keep the method's dataparser defaults when the type matches
+            # (tyro subcommand semantics, method_configs.py:1165-1172)
+            if not isinstance(config.dataparser, parser_cfg_cls):
+                config.dataparser = parser_cfg_cls()
             config.dataparser_class = parser_cls
             i += 1
             while i < len(argv):

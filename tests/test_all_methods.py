@@ -18,7 +18,7 @@ BLACKLIST = []  # methods not yet runnable
 @pytest.fixture(scope="session")
 def sphere_data(tmp_path_factory):
     out = tmp_path_factory.mktemp("data") / "sphere"
-    generate_sphere_dataset(out, num_images=6, width=40, height=40)
+    generate_sphere_dataset(out, num_images=6, width=40, height=40, with_pairs=True)
     return out
 
 
@@ -94,9 +94,9 @@ def test_method_smoke_train(method, sphere_data, tmp_path):
     config = parse_args(
         [method, "sdfstudio-data", "--data", str(sphere_data)]
     )
-    # geo-* configs enable pairs/sfm loading which the fixture lacks
+    # the fixture provides pairs.txt but no sfm points
     config.dataparser = dataclasses.replace(
-        config.dataparser, load_pairs=False, include_sfm_points=False,
+        config.dataparser, include_sfm_points=False,
         include_mono_prior=config.dataparser.include_mono_prior,
     )
     config = shrink(config)
