@@ -46,18 +46,14 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
     trainer = setup_trainer(config, test_mode=True)
     trainer.setup(jax.random.PRNGKey(0))
 
-    rng = jax.random.PRNGKey(1)
-
-    # warmup / compile
+    # warmup / compile (rng is carried in TrainState; no per-step host ops)
     for _ in range(3):
-        rng, sub = jax.random.split(rng)
-        trainer.state, metrics = trainer._train_step(trainer.state, sub)
+        trainer.state, metrics = trainer._train_step(trainer.state)
     jax.block_until_ready(trainer.state.params)
 
     t0 = time.perf_counter()
     for _ in range(num_steps):
-        rng, sub = jax.random.split(rng)
-        trainer.state, metrics = trainer._train_step(trainer.state, sub)
+        trainer.state, metrics = trainer._train_step(trainer.state)
     jax.block_until_ready(trainer.state.params)
     dt = time.perf_counter() - t0
 

@@ -53,6 +53,7 @@ class TrainState:
     params: Any
     opt_state: Any
     model_state: Any = None  # e.g. occupancy grids (instant-ngp / neus-acc)
+    rng: Any = None  # PRNG key, split INSIDE the jitted step (see below)
 
 
 class Trainer:
@@ -111,6 +112,7 @@ class Trainer:
             model_state=(
                 jax.device_put(model_state, replicated) if model_state is not None else None
             ),
+            rng=jax.device_put(jax.random.fold_in(rng, 977), replicated),
         )
         if hasattr(self.model, "update_model_state"):
             self._jit_update_model_state = jax.jit(self.model.update_model_state)
@@ -125,17 +127,28 @@ class Trainer:
         self._render_chunk = jax.jit(self._render_chunk_impl)
         return self.state
 
-    def _train_step(self, state: TrainState, rng: jax.Array):
+    def _train_step(self, state: TrainState, rng: Optional[jax.Array] = None):
+        """One training step. The PRNG is carried in TrainState and split
+        INSIDE the jitted program: this deployment's runtime keeps only a
+        small program cache, and per-step host-side jax.random.split
+        executables thrash it — every train-step call then pays a ~5.8s
+        program reload. With the rng in-state, the train step is the ONLY
+        program that executes per iteration. An explicit ``rng`` still
+        overrides for deterministic tests."""
+        if rng is not None:
+            state = state.replace(rng=rng)
+        elif state.rng is None:
+            state = state.replace(rng=jax.random.PRNGKey(0))
         return self._jit_train_step(
-            state, rng, self.datamanager.train_data, self.datamanager.train_cameras
+            state, self.datamanager.train_data, self.datamanager.train_cameras
         )
 
     # ------------------------------------------------------------------
-    def _train_step_impl(self, state: TrainState, rng: jax.Array, train_data, cameras):
+    def _train_step_impl(self, state: TrainState, train_data, cameras):
         model, dm = self.model, self.datamanager
         step_f = state.step.astype(jnp.float32)
         sched = model.schedules(step_f)
-        rng_sample, rng_model, rng_loss = jax.random.split(rng, 3)
+        next_rng, rng_sample, rng_model, rng_loss = jax.random.split(state.rng, 4)
 
         accum = max(self.config.accumulate_grad_steps, 1)
         additional = None
@@ -220,6 +233,7 @@ class Trainer:
             params=params,
             opt_state=opt_state,
             model_state=state.model_state,
+            rng=next_rng,
         )
         out = {"loss": loss, **loss_dict, **metrics}
         # pack metrics into ONE vector: each device->host transfer costs
@@ -233,17 +247,23 @@ class Trainer:
         vals = np.asarray(metrics_vec)  # one transfer
         return {k: float(v) for k, v in zip(self._metric_keys, vals)}
 
-    def maybe_update_model_state(self, rng: jax.Array):
+    def maybe_update_model_state(self, rng: jax.Array, host_step: Optional[int] = None):
         """Run the model's grid-update callback at its cadence (the analog of
-        reference grid-update training callbacks, e.g. neus_acc.py)."""
+        reference grid-update training callbacks, e.g. neus_acc.py).
+
+        host_step avoids fetching state.step from device (a ~29s transfer
+        on this deployment)."""
         model = self.model
         if not hasattr(model, "update_model_state"):
             return
         every = getattr(model, "model_state_update_every", 16)
-        step = int(self.state.step)
+        step = host_step if host_step is not None else int(self.state.step)
         if step % every == 0:
             new_ms = self._jit_update_model_state(
-                self.state.params, self.state.model_state, self.state.step, rng
+                self.state.params,
+                self.state.model_state,
+                self.state.step,
+                jax.random.fold_in(rng, step),
             )
             self.state = self.state.replace(model_state=new_ms)
 
@@ -332,18 +352,19 @@ class Trainer:
         assert self.state is not None, "call setup() first"
         cfg = self.config
         max_iters = num_iterations or cfg.max_num_iterations
-        rng = jax.random.PRNGKey(np.uint32(jax.process_index() * 7919 + 1))
         num_rays = self.datamanager.config.train_num_rays_per_batch
 
         start_step = int(self.state.step)
         window_t0 = time.perf_counter()
         window_steps = 0
         steps_per_log = max(cfg.steps_per_log, 1)
+        grid_rng = jax.random.PRNGKey(np.uint32(jax.process_index() * 7919 + 1))
         for step in range(start_step, max_iters):
-            rng, sub = jax.random.split(rng)
-            rng, grid_rng = jax.random.split(rng)
-            self.maybe_update_model_state(grid_rng)
-            self.state, metrics = self._train_step(self.state, sub)
+            # NOTE: no host-side jax ops per step — the training rng lives in
+            # TrainState (see _train_step); extra host programs per step
+            # thrash the runtime's program cache
+            self.maybe_update_model_state(grid_rng, host_step=step)
+            self.state, metrics = self._train_step(self.state)
             window_steps += 1
             if step % steps_per_log == 0 or step == max_iters - 1:
                 # steps dispatch asynchronously; timing must cover the whole
