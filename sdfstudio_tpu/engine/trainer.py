@@ -45,6 +45,11 @@ class TrainerConfig:
     accumulate_grad_steps: int = 1
     """Gradient accumulation: grads averaged over N sub-batches per update
     via lax.scan (reference trainer.py:317-321)."""
+    defer_heavy_ops: bool = False
+    """When True (set automatically for segmented TPU runs): skip mid-run
+    eval-image renders — loading ANY second executable permanently degrades
+    every subsequent train step to ~5.8s on this deployment — and instead
+    checkpoint + eval once at the end of the run/segment."""
 
 
 @struct.dataclass
@@ -391,58 +396,82 @@ class Trainer:
                         flush=True,
                     )
 
-            if cfg.steps_per_eval_image > 0 and (step + 1) % cfg.steps_per_eval_image == 0:
+            if (
+                not cfg.defer_heavy_ops
+                and cfg.steps_per_eval_image > 0
+                and (step + 1) % cfg.steps_per_eval_image == 0
+            ):
                 idx = int(np.random.RandomState(step).randint(self.datamanager.num_eval_images))
                 m = self.eval_image_metrics(idx)
                 self.writer.put_dict(m, step, prefix="eval/")
                 print(f"[eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}", flush=True)
 
-            if (step + 1) % cfg.steps_per_save == 0 or step == max_iters - 1:
+            if not cfg.defer_heavy_ops and (
+                (step + 1) % cfg.steps_per_save == 0 or step == max_iters - 1
+            ):
                 self.save_checkpoint(step + 1)
+
+        if cfg.defer_heavy_ops:
+            # segment end: the process is about to exit, poisoning is fine
+            self.save_checkpoint(max_iters)
+            if cfg.steps_per_eval_image > 0 and self.datamanager.num_eval_images:
+                idx = int(np.random.RandomState(max_iters).randint(self.datamanager.num_eval_images))
+                m = self.eval_image_metrics(idx)
+                self.writer.put_dict(m, max_iters, prefix="eval/")
+                print(
+                    f"[segment-end eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}",
+                    flush=True,
+                )
         return self.state
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, step: int):
-        """Orbax checkpoint (reference trainer.py:277-306)."""
+        """Packed checkpoint (reference trainer.py:277-306 semantics; see
+        utils/fast_checkpoint.py for why not per-array orbax here)."""
         if not mesh_lib.is_main_process():
             return
-        import orbax.checkpoint as ocp
+        from sdfstudio_tpu.utils.fast_checkpoint import save_packed
 
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         path = self.ckpt_dir / f"step-{step:09d}"
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path.absolute(),
-            {"step": np.asarray(step), "params": self.state.params, "opt_state": self.state.opt_state},
-            force=True,
-        )
-        ckptr.wait_until_finished()
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "model_state": self.state.model_state,
+            "rng": self.state.rng,
+        }
+        save_packed(path, payload)
+        (path / "step.txt").write_text(str(step))
         if self.config.save_only_latest_checkpoint:
             for p in sorted(self.ckpt_dir.glob("step-*")):
                 if p != path:
                     import shutil
 
                     shutil.rmtree(p, ignore_errors=True)
+        print(f"saved checkpoint {path}", flush=True)
 
     def _load_checkpoint(self, load_dir: Path, load_step: Optional[int] = None):
         """Resume (reference trainer.py:254-275)."""
-        import orbax.checkpoint as ocp
+        from sdfstudio_tpu.utils.fast_checkpoint import load_packed
 
+        load_dir = Path(load_dir)
         if load_step is None:
             steps = sorted(int(p.name.split("-")[1]) for p in load_dir.glob("step-*"))
             assert steps, f"no checkpoints in {load_dir}"
             load_step = steps[-1]
         path = load_dir / f"step-{load_step:09d}"
-        ckptr = ocp.StandardCheckpointer()
         template = {
-            "step": np.asarray(0),
             "params": self.state.params,
             "opt_state": self.state.opt_state,
+            "model_state": self.state.model_state,
+            "rng": self.state.rng,
         }
-        restored = ckptr.restore(path.absolute(), template)
+        restored = load_packed(path, template)
         self.state = TrainState(
-            step=jnp.asarray(int(restored["step"]), jnp.int32),
+            step=jnp.asarray(load_step, jnp.int32),
             params=restored["params"],
             opt_state=restored["opt_state"],
+            model_state=restored["model_state"],
+            rng=restored["rng"],
         )
         print(f"loaded checkpoint from {path} at step {load_step}", flush=True)

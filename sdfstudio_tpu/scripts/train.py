@@ -12,6 +12,7 @@ full jax device mesh in this one process (parallel/mesh.py).
 """
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -180,8 +181,62 @@ def main(config: Config):
     print("training finished", flush=True)
 
 
+SEGMENT_ENV = "SST_SEGMENT_CHILD"
+
+
+def _tpu_backend_expected() -> bool:
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    return plat not in ("", "cpu")
+
+
+def run_segmented(argv, config: Config):
+    """Segmented training for the TPU deployment: each segment runs in a
+    fresh process whose ONLY hot executable is the train step (loading any
+    second program permanently degrades step dispatch to ~5.8s — see
+    docs/tpu-design.md). Checkpoint + eval happen at segment ends; the
+    persistent compile cache makes per-segment startup ~a minute."""
+    import subprocess
+
+    config.set_timestamp()
+    total = config.trainer.max_num_iterations
+    segment = max(config.trainer.steps_per_save, 1)
+    ckpt_dir = config.get_checkpoint_dir()
+    start = 0
+    while start < total:
+        end = min(start + segment, total)
+        args = (
+            [sys.executable, "-m", "sdfstudio_tpu.scripts.train"]
+            + list(argv)
+            + [
+                "--timestamp", config.timestamp,
+                "--trainer.max-num-iterations", str(end),
+                "--trainer.defer-heavy-ops", "True",
+            ]
+        )
+        if start > 0:
+            args += ["--trainer.load-dir", str(ckpt_dir)]
+        print(f"[segments] steps {start} -> {end} of {total}", flush=True)
+        env = dict(os.environ, **{SEGMENT_ENV: "1"})
+        ret = subprocess.run(args, env=env).returncode
+        if ret != 0:
+            sys.exit(ret)
+        start = end
+    print("training finished (all segments)", flush=True)
+
+
 def entrypoint():
-    main(parse_args(sys.argv[1:]))
+    argv = sys.argv[1:]
+    config = parse_args(argv)
+    in_child = os.environ.get(SEGMENT_ENV) == "1"
+    needs_segments = (
+        _tpu_backend_expected()
+        and not in_child
+        and config.trainer.max_num_iterations > config.trainer.steps_per_save
+    )
+    if needs_segments:
+        run_segmented(argv, config)
+    else:
+        main(config)
 
 
 if __name__ == "__main__":
