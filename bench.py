@@ -59,8 +59,7 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
 
     rays_per_sec = num_steps * num_rays / dt
     print(
-        f"steps={num_steps} rays/batch={num_rays} time={dt:.2f}s "
-        f"it/s={num_steps / dt:.2f} loss={trainer.unpack_metrics(metrics)['loss']:.4f}",
+        f"steps={num_steps} rays/batch={num_rays} time={dt:.2f}s it/s={num_steps / dt:.2f}",
         file=sys.stderr,
     )
     print(
@@ -71,8 +70,12 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    # sanity: fetch the last loss AFTER the headline line — the first
+    # device->host fetch costs ~minutes on this deployment (docs/tpu-design.md)
+    print(f"loss={trainer.unpack_metrics(metrics)['loss']:.4f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,9 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._jit_train_step = None
         self._render_chunk = None
+        # host-side mirror of state.step: reading int(state.step) is a
+        # device->host fetch, which poisons the program cache (docs/tpu-design.md)
+        self._host_step: Optional[int] = None
 
     # ------------------------------------------------------------------
     def setup(self, rng: Optional[jax.Array] = None):
@@ -119,9 +122,7 @@ class Trainer:
             ),
             rng=jax.device_put(jax.random.fold_in(rng, 977), replicated),
         )
-        if hasattr(self.model, "update_model_state"):
-            self._jit_update_model_state = jax.jit(self.model.update_model_state)
-
+        self._host_step = 0
         if self.config.load_dir is not None:
             self._load_checkpoint(Path(self.config.load_dir), self.config.load_step)
 
@@ -153,7 +154,21 @@ class Trainer:
         model, dm = self.model, self.datamanager
         step_f = state.step.astype(jnp.float32)
         sched = model.schedules(step_f)
-        next_rng, rng_sample, rng_model, rng_loss = jax.random.split(state.rng, 4)
+        next_rng, rng_sample, rng_model, rng_loss, rng_grid = jax.random.split(state.rng, 5)
+
+        # occupancy-grid updates (neus-acc / instant-ngp / neusW) run INSIDE
+        # the step behind lax.cond: a separate jitted update program would
+        # evict the train step from the runtime's program cache, degrading
+        # every subsequent step ~1000x (see docs/tpu-design.md)
+        model_state = state.model_state
+        if getattr(model, "has_model_state", False) and hasattr(model, "update_model_state"):
+            every = int(getattr(model, "model_state_update_every", 16))
+            model_state = jax.lax.cond(
+                state.step % every == 0,
+                lambda ms: model.update_model_state(state.params, ms, state.step, rng_grid),
+                lambda ms: ms,
+                state.model_state,
+            )
 
         accum = max(self.config.accumulate_grad_steps, 1)
         additional = None
@@ -171,7 +186,7 @@ class Trainer:
         batch = mesh_lib.shard_leading_axis(batch, self.mesh)
 
         model_kwargs = (
-            {"model_state": state.model_state}
+            {"model_state": model_state}
             if getattr(model, "has_model_state", False)
             else {}
         )
@@ -237,7 +252,7 @@ class Trainer:
             step=state.step + 1,
             params=params,
             opt_state=opt_state,
-            model_state=state.model_state,
+            model_state=model_state,
             rng=next_rng,
         )
         out = {"loss": loss, **loss_dict, **metrics}
@@ -252,25 +267,39 @@ class Trainer:
         vals = np.asarray(metrics_vec)  # one transfer
         return {k: float(v) for k, v in zip(self._metric_keys, vals)}
 
-    def maybe_update_model_state(self, rng: jax.Array, host_step: Optional[int] = None):
-        """Run the model's grid-update callback at its cadence (the analog of
-        reference grid-update training callbacks, e.g. neus_acc.py).
-
-        host_step avoids fetching state.step from device (a ~29s transfer
-        on this deployment)."""
-        model = self.model
-        if not hasattr(model, "update_model_state"):
-            return
-        every = getattr(model, "model_state_update_every", 16)
-        step = host_step if host_step is not None else int(self.state.step)
-        if step % every == 0:
-            new_ms = self._jit_update_model_state(
-                self.state.params,
-                self.state.model_state,
-                self.state.step,
-                jax.random.fold_in(rng, step),
-            )
-            self.state = self.state.replace(model_state=new_ms)
+    def flush_metric_history(self, history, max_iters: int) -> Dict[str, float]:
+        """Fetch every buffered metrics vector in ONE stacked device->host
+        transfer and write the rows to the writer. The first D2H fetch in a
+        process costs minutes on this deployment AND permanently degrades
+        the train step (docs/tpu-design.md), so the loop buffers device
+        arrays and this runs once, after training."""
+        if not history:
+            return {}
+        t0 = time.perf_counter()
+        steps = [s for s, _ in history]
+        # icebreaker: the process's FIRST device->host fetch pays a one-time
+        # ~5-13 min relay setup cost; pay it on a bare buffer fetch before
+        # dispatching any new program (jnp.stack), which measured as the
+        # reliable ordering (/tmp/tpu_segend.py probe)
+        np.asarray(history[0][1])
+        print(
+            f"[trainer] first device->host fetch took {time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        stacked = jnp.stack([m for _, m in history])
+        vals = np.asarray(stacked)  # ONE transfer
+        print(
+            f"[trainer] metric history fetched ({len(steps)} rows) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        last = {}
+        for s, row in zip(steps, vals):
+            metrics = {k: float(v) for k, v in zip(self._metric_keys, row)}
+            self.writer.put_dict(metrics, s)
+            last = metrics
+        self.writer.print_row(steps[-1] + 1, max_iters, last)
+        return last
 
     # ------------------------------------------------------------------
     def _render_chunk_impl(self, params, ray_bundle, step, model_state=None):
@@ -298,6 +327,10 @@ class Trainer:
             else dm.train_cameras.generate_image_rays(camera_index)
         )
         chunk = self.model.config.eval_num_rays_per_chunk
+        if self.config.defer_heavy_ops:
+            # segment-end eval on the degraded program cache pays ~5.8s per
+            # chunk call; fewer, larger chunks (forward-only, fits HBM)
+            chunk = max(chunk, 8192)
         n = bundle.origins.shape[0]
         n_pad = ((n + chunk - 1) // chunk) * chunk
         pad = n_pad - n
@@ -359,42 +392,38 @@ class Trainer:
         max_iters = num_iterations or cfg.max_num_iterations
         num_rays = self.datamanager.config.train_num_rays_per_batch
 
-        start_step = int(self.state.step)
+        # never int(self.state.step): a device->host fetch before the loop
+        # poisons the program cache (docs/tpu-design.md)
+        start_step = (
+            self._host_step if self._host_step is not None else int(self.state.step)
+        )
         window_t0 = time.perf_counter()
         window_steps = 0
         steps_per_log = max(cfg.steps_per_log, 1)
-        grid_rng = jax.random.PRNGKey(np.uint32(jax.process_index() * 7919 + 1))
+        history = []  # (step, device metrics vec); fetched ONCE after the loop
         for step in range(start_step, max_iters):
-            # NOTE: no host-side jax ops per step — the training rng lives in
-            # TrainState (see _train_step); extra host programs per step
-            # thrash the runtime's program cache
-            self.maybe_update_model_state(grid_rng, host_step=step)
+            # the ONLY device interaction per step is the train program
+            # itself: any other program — and any device->host fetch — evicts
+            # it from the runtime's program cache, degrading every later step
+            # ~1000x (docs/tpu-design.md). Grid updates run inside the step
+            # (lax.cond); metric values are buffered as device arrays here.
             self.state, metrics = self._train_step(self.state)
             window_steps += 1
             if step % steps_per_log == 0 or step == max_iters - 1:
                 # steps dispatch asynchronously; timing must cover the whole
                 # window up to this sync, divided by the steps in the window
-                jax.block_until_ready(self.state.params)
-                compute_t = time.perf_counter() - window_t0
-                fetch_t0 = time.perf_counter()
-                metrics = self.unpack_metrics(metrics)  # ONE transfer
-                fetch_t = time.perf_counter() - fetch_t0
-                dt = compute_t / max(window_steps, 1)
+                jax.block_until_ready(self.state.params)  # sync, NOT a fetch
+                dt = (time.perf_counter() - window_t0) / max(window_steps, 1)
                 window_t0 = time.perf_counter()
                 window_steps = 0
+                history.append((step, metrics))
                 self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step)
                 self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step)
-                self.writer.put_dict(metrics, step)
-                self.writer.print_row(step + 1, max_iters, metrics)
-                # self-tune: on this deployment a metrics fetch costs ~29s
-                # flat; widen the log window until fetches are <30% overhead
-                if fetch_t > 0.3 * compute_t and steps_per_log < 2048:
-                    steps_per_log = min(steps_per_log * 4, 2048)
-                    print(
-                        f"[trainer] device->host fetch took {fetch_t:.1f}s; "
-                        f"raising log interval to {steps_per_log} steps",
-                        flush=True,
-                    )
+                print(
+                    f"step {step + 1}/{max_iters}  rays/s={num_rays / dt:,.0f}"
+                    f"  eta={self.writer.eta(step, max_iters)}",
+                    flush=True,
+                )
 
             if (
                 not cfg.defer_heavy_ops
@@ -411,12 +440,19 @@ class Trainer:
             ):
                 self.save_checkpoint(step + 1)
 
+        self._host_step = max_iters
+        # training is done; from here on device<->host traffic is fine
+        # (segment end / end of run — the hot loop no longer needs the cache)
+        self.flush_metric_history(history, max_iters)
         if cfg.defer_heavy_ops:
-            # segment end: the process is about to exit, poisoning is fine
+            t0 = time.perf_counter()
             self.save_checkpoint(max_iters)
+            print(f"[trainer] checkpoint saved in {time.perf_counter() - t0:.1f}s", flush=True)
             if cfg.steps_per_eval_image > 0 and self.datamanager.num_eval_images:
+                t0 = time.perf_counter()
                 idx = int(np.random.RandomState(max_iters).randint(self.datamanager.num_eval_images))
                 m = self.eval_image_metrics(idx)
+                print(f"[trainer] segment-end eval rendered in {time.perf_counter() - t0:.1f}s", flush=True)
                 self.writer.put_dict(m, max_iters, prefix="eval/")
                 print(
                     f"[segment-end eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}",
@@ -467,11 +503,18 @@ class Trainer:
             "rng": self.state.rng,
         }
         restored = load_packed(path, template)
-        self.state = TrainState(
-            step=jnp.asarray(load_step, jnp.int32),
-            params=restored["params"],
-            opt_state=restored["opt_state"],
-            model_state=restored["model_state"],
-            rng=restored["rng"],
+        # same replicated placement as setup(): a sharding mismatch vs the
+        # first compile silently retraces the train step (minutes on TPU)
+        replicated = mesh_lib.replicated(self.mesh)
+        self.state = jax.device_put(
+            TrainState(
+                step=jnp.asarray(load_step, jnp.int32),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                model_state=restored["model_state"],
+                rng=restored["rng"],
+            ),
+            replicated,
         )
+        self._host_step = load_step
         print(f"loaded checkpoint from {path} at step {load_step}", flush=True)

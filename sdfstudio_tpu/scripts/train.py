@@ -192,29 +192,31 @@ def _tpu_backend_expected() -> bool:
 def run_segmented(argv, config: Config):
     """Segmented training for the TPU deployment: each segment runs in a
     fresh process whose ONLY hot executable is the train step (loading any
-    second program permanently degrades step dispatch to ~5.8s — see
-    docs/tpu-design.md). Checkpoint + eval happen at segment ends; the
-    persistent compile cache makes per-segment startup ~a minute."""
+    second program — or doing any device->host fetch — permanently degrades
+    step dispatch to ~5.8s; see docs/tpu-design.md). Checkpoint + eval
+    happen at segment ends. NOTE: each segment end pays ~5-7 min (the
+    process's first D2H fetch alone is ~330s), so keep steps_per_save LARGE
+    on this deployment — training itself runs at ~300k+ steps/hour."""
     import subprocess
 
     config.set_timestamp()
     total = config.trainer.max_num_iterations
     segment = max(config.trainer.steps_per_save, 1)
     ckpt_dir = config.get_checkpoint_dir()
+    # method-level flags must precede the dataparser subcommand token
+    split = next((i for i, tok in enumerate(argv) if tok in DATAPARSERS), len(argv))
+    head, tail = list(argv[:split]), list(argv[split:])
     start = 0
     while start < total:
         end = min(start + segment, total)
-        args = (
-            [sys.executable, "-m", "sdfstudio_tpu.scripts.train"]
-            + list(argv)
-            + [
-                "--timestamp", config.timestamp,
-                "--trainer.max-num-iterations", str(end),
-                "--trainer.defer-heavy-ops", "True",
-            ]
-        )
+        extra = [
+            "--timestamp", config.timestamp,
+            "--trainer.max-num-iterations", str(end),
+            "--trainer.defer-heavy-ops", "True",
+        ]
         if start > 0:
-            args += ["--trainer.load-dir", str(ckpt_dir)]
+            extra += ["--trainer.load-dir", str(ckpt_dir)]
+        args = [sys.executable, "-m", "sdfstudio_tpu.scripts.train"] + head + extra + tail
         print(f"[segments] steps {start} -> {end} of {total}", flush=True)
         env = dict(os.environ, **{SEGMENT_ENV: "1"})
         ret = subprocess.run(args, env=env).returncode
