@@ -37,6 +37,25 @@ class DataManagerConfig:
     neighbors_num: Optional[int] = None
 
 
+def _pad_stack(arrays) -> np.ndarray:
+    """Stack per-image arrays that may differ in (H, W) by zero-padding to
+    the max resolution — the TPU-native (static-shape) replacement for the
+    reference's list-of-tensors ``BasicImages`` / ``GeneralizedDataset``
+    variable-resolution path (reference datasets/base_dataset.py:135-191,
+    utils/images.py:26). Per-image valid extents live in
+    ``VanillaDataManager.image_heights/widths`` and bound pixel sampling."""
+    arrays = [np.asarray(a) for a in arrays]
+    shapes = {a.shape for a in arrays}
+    if len(shapes) == 1:
+        return np.stack(arrays)
+    h = max(a.shape[0] for a in arrays)
+    w = max(a.shape[1] for a in arrays)
+    out = np.zeros((len(arrays), h, w) + arrays[0].shape[2:], arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[0], : a.shape[1]] = a
+    return out
+
+
 class VanillaDataManager:
     """Holds device-resident dataset tensors + pure sampling functions."""
 
@@ -61,6 +80,14 @@ class VanillaDataManager:
         self.image_height = self.train_data["image"].shape[1]
         self.image_width = self.train_data["image"].shape[2]
 
+        # per-image valid extents (variable-resolution datasets are padded
+        # to the max H x W by _pad_stack; sampling stays inside each image)
+        hs = np.asarray(self.train_cameras.height).reshape(-1).astype(np.int32)
+        ws = np.asarray(self.train_cameras.width).reshape(-1).astype(np.int32)
+        self.variable_res = bool((hs != hs[0]).any() or (ws != ws[0]).any())
+        self.image_heights = jnp.asarray(hs)
+        self.image_widths = jnp.asarray(ws)
+
         self.camera_optimizer = CameraOptimizer(
             num_cameras=self.num_train_images, config=config.camera_optimizer
         )
@@ -80,16 +107,16 @@ class VanillaDataManager:
                 img = img[..., :3] * img[..., 3:] + bg * (1.0 - img[..., 3:])
             return img[..., :3]
 
-        images = np.stack([load(f) for f in outputs.image_filenames])
+        images = _pad_stack([load(f) for f in outputs.image_filenames])
         data = {"image": jnp.asarray(images)}
         if outputs.depths:
-            data["depth"] = jnp.asarray(np.stack(outputs.depths))
+            data["depth"] = jnp.asarray(_pad_stack(list(outputs.depths)))
         if outputs.normals:
-            data["normal"] = jnp.asarray(np.stack(outputs.normals))
+            data["normal"] = jnp.asarray(_pad_stack(list(outputs.normals)))
         if outputs.sensor_depths:
-            data["sensor_depth"] = jnp.asarray(np.stack(outputs.sensor_depths))
+            data["sensor_depth"] = jnp.asarray(_pad_stack(list(outputs.sensor_depths)))
         if outputs.fg_masks:
-            data["fg_mask"] = jnp.asarray(np.stack(outputs.fg_masks))
+            data["fg_mask"] = jnp.asarray(_pad_stack(list(outputs.fg_masks)))
         return data
 
     # ------------------------------------------------------------------
@@ -113,8 +140,23 @@ class VanillaDataManager:
         R = num_rays or self.config.train_num_rays_per_batch
         kc, ky, kx = jax.random.split(rng, 3)
         cam = jax.random.randint(kc, (R,), 0, self.num_train_images)
-        y = jax.random.randint(ky, (R,), 0, self.image_height)
-        x = jax.random.randint(kx, (R,), 0, self.image_width)
+        if self.variable_res:
+            # uniform within each sampled image's own extent (the reference
+            # samples per-image from the BasicImages list,
+            # pixel_samplers.py:96-160)
+            hy = self.image_heights[cam].astype(jnp.float32)
+            wx = self.image_widths[cam].astype(jnp.float32)
+            y = jnp.minimum(
+                (jax.random.uniform(ky, (R,)) * hy).astype(jnp.int32),
+                self.image_heights[cam] - 1,
+            )
+            x = jnp.minimum(
+                (jax.random.uniform(kx, (R,)) * wx).astype(jnp.int32),
+                self.image_widths[cam] - 1,
+            )
+        else:
+            y = jax.random.randint(ky, (R,), 0, self.image_height)
+            x = jax.random.randint(kx, (R,), 0, self.image_width)
         batch = {k: v[cam, y, x] for k, v in data.items()}
         ray_indices = jnp.stack([cam, y, x], axis=-1)
         return ray_indices, batch
@@ -140,7 +182,11 @@ class VanillaDataManager:
     # ------------------------------------------------------------------
     def eval_image_data(self, image_index: int) -> Dict[str, jnp.ndarray]:
         data = self.eval_data if self.eval_data is not None else self.train_data
-        return {k: v[image_index] for k, v in data.items()}
+        cams = self.eval_cameras if self.eval_data is not None else self.train_cameras
+        # crop away _pad_stack padding for variable-resolution datasets
+        h = int(np.asarray(cams.height).reshape(-1)[image_index])
+        w = int(np.asarray(cams.width).reshape(-1)[image_index])
+        return {k: v[image_index][:h, :w] for k, v in data.items()}
 
     def eval_image_rays(self, image_index: int) -> RayBundle:
         cams = self.eval_cameras if self.eval_cameras is not None else self.train_cameras

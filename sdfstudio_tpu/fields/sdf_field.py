@@ -213,6 +213,7 @@ class SDFFieldNet(nn.Module):
                 )
             )
         self.clayers = clayers
+        self.cdims = cdims
 
         if cfg.use_diffuse_color:
             self.diffuse_color_pred = nn.Dense(3, name="diffuse_color_pred")
@@ -327,10 +328,31 @@ class SDFFieldNet(nn.Module):
         h = jnp.concatenate(h, axis=-1)
 
         n = len(self.clayers)
-        for l in range(n):
-            h = self.clayers[l](h)
-            if l < n - 1:
-                h = jax.nn.relu(h)
+        from sdfstudio_tpu.ops.mlp import use_fused_mlp_default
+
+        if use_fused_mlp_default():
+            # one Pallas fully-fused kernel over the whole color chain (the
+            # color net sits under the outer loss grad only — reverse mode —
+            # so the fused custom_vjp is safe here, unlike the geonetwork
+            # which needs forward-mode JVP for eikonal gradients)
+            from sdfstudio_tpu.ops.pallas_mlp import fused_mlp
+
+            # each layer's params are created/fetched with its OWN input
+            # width (self.cdims[l]); the dummy is only read for its shape
+            kbs = [
+                self.clayers[l](
+                    jnp.zeros((1, self.cdims[l]), h.dtype), return_effective=True
+                )
+                for l in range(n)
+            ]
+            h = fused_mlp(
+                h, [k for k, _ in kbs], [b for _, b in kbs], activation="relu"
+            )
+        else:
+            for l in range(n):
+                h = self.clayers[l](h)
+                if l < n - 1:
+                    h = jax.nn.relu(h)
         rgb = jax.nn.sigmoid(h)
 
         if cfg.use_diffuse_color:

@@ -40,7 +40,7 @@ class WNLinear(nn.Module):
     use_weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_effective: bool = False):
         in_dim = x.shape[-1]
         v = self.param("kernel", self.kernel_init, (in_dim, self.features))
         b = self.param("bias", self.bias_init, (self.features,))
@@ -53,6 +53,10 @@ class WNLinear(nn.Module):
             kernel = v * (g / jnp.maximum(norm, 1e-12))
         else:
             kernel = v
+        if return_effective:
+            # hand the effective (kernel, bias) to a fused consumer (the
+            # Pallas fully-fused MLP); x is only used for its shape.
+            return kernel, b
         return jnp.dot(x, kernel, preferred_element_type=x.dtype) + b
 
 
@@ -107,8 +111,54 @@ def kaiming_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class _DenseParams(nn.Module):
+    """Creates kernel/bias with the same tree structure and initializers as
+    ``nn.Dense`` (so fused and unfused MLP paths share checkpoints) but
+    returns the raw arrays instead of computing."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _activation_name(fn: Optional[Callable]) -> Optional[str]:
+    """Map an activation callable onto a fused-kernel name (None if the
+    fused kernel doesn't support it)."""
+    if fn is None:
+        return "none"
+    if fn is jax.nn.relu:
+        return "relu"
+    if fn is softplus_beta100:
+        return "softplus100"
+    return None
+
+
+def use_fused_mlp_default() -> bool:
+    """Fused Pallas MLP is the default on real TPU backends only — on CPU the
+    Pallas interpreter would be far slower than XLA's native path.
+    ``SST_DISABLE_FUSED_MLP=1`` disables it (A/B benchmarking escape hatch)."""
+    import os
+
+    if os.environ.get("SST_DISABLE_FUSED_MLP"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class MLP(nn.Module):
-    """Generic MLP with skip connections (reference field_components/mlp.py:27-99)."""
+    """Generic MLP with skip connections (reference field_components/mlp.py:27-99).
+
+    On TPU (``fused=None`` auto-resolves via :func:`use_fused_mlp_default`)
+    skip-free MLPs with relu/softplus100 activations execute as ONE Pallas
+    kernel (:mod:`sdfstudio_tpu.ops.pallas_mlp`) with all weights resident in
+    VMEM — the tiny-cuda-nn ``FullyFusedMLP`` equivalent. The parameter tree
+    is identical in both modes.
+    """
 
     num_layers: int
     layer_width: int
@@ -116,18 +166,43 @@ class MLP(nn.Module):
     skip_connections: Sequence[int] = ()
     activation: Callable = jax.nn.relu
     out_activation: Optional[Callable] = None
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        inputs = x
         skips = set(self.skip_connections)
+        params = []
+        in_dim = x.shape[-1]
+        for i in range(self.num_layers):
+            if i in skips and i > 0:
+                in_dim = x.shape[-1] + self.layer_width
+            width = (
+                self.layer_width
+                if i < self.num_layers - 1
+                else (self.out_dim or self.layer_width)
+            )
+            params.append(_DenseParams(width, name=f"layer_{i}")(in_dim))
+            in_dim = width
+
+        act_name = _activation_name(self.activation)
+        out_act_name = _activation_name(self.out_activation)
+        fused = self.fused if self.fused is not None else use_fused_mlp_default()
+        if fused and not skips and act_name is not None and out_act_name is not None:
+            from sdfstudio_tpu.ops.pallas_mlp import fused_mlp
+
+            ws = [k for k, _ in params]
+            bs = [b for _, b in params]
+            return fused_mlp(x, ws, bs, activation=act_name, out_activation=out_act_name)
+
+        inputs = x
         for i in range(self.num_layers - 1):
             if i in skips and i > 0:
                 x = jnp.concatenate([inputs, x], axis=-1)
-            x = nn.Dense(self.layer_width, name=f"layer_{i}")(x)
+            k, b = params[i]
+            x = jnp.dot(x, k, preferred_element_type=x.dtype) + b
             x = self.activation(x)
-        out = self.out_dim or self.layer_width
-        x = nn.Dense(out, name=f"layer_{self.num_layers - 1}")(x)
+        k, b = params[-1]
+        x = jnp.dot(x, k, preferred_element_type=x.dtype) + b
         if self.out_activation is not None:
             x = self.out_activation(x)
         return x

@@ -22,6 +22,8 @@ def main(
     use_contraction: bool = False,
     create_visibility_mask: bool = False,
     chunk: int = 131072,
+    simplify_mesh: bool = False,
+    num_target_faces: int = 1_000_000,
 ):
     from sdfstudio_tpu.engine.setup import eval_setup
     from sdfstudio_tpu.ops.density import unisurf_occupancy
@@ -30,6 +32,7 @@ def main(
         get_surface_sliding,
         get_surface_sliding_with_contraction,
     )
+    from sdfstudio_tpu.utils.marching_cubes import simplify_mesh as _simplify
 
     config, trainer = eval_setup(load_config)
     model = trainer.model
@@ -73,6 +76,10 @@ def main(
             block_res=min(resolution, 256),
             chunk=chunk,
         )
+    if simplify_mesh:
+        # reference decimates via pymeshlab (marching_cubes.py:162-167);
+        # here: in-tree C++ quadric edge collapse
+        mesh = _simplify(mesh, num_target_faces)
     output_path.parent.mkdir(parents=True, exist_ok=True)
     mesh.export(output_path)
     print(f"wrote {output_path}: {len(mesh.vertices)} vertices, {len(mesh.faces)} faces")
@@ -89,6 +96,8 @@ def entrypoint():
     p.add_argument("--use-contraction", action="store_true", dest="use_contraction")
     p.add_argument("--create-visibility-mask", action="store_true", dest="create_visibility_mask")
     p.add_argument("--chunk", type=int, default=131072)
+    p.add_argument("--simplify-mesh", action="store_true", dest="simplify_mesh")
+    p.add_argument("--num-target-faces", type=int, default=1_000_000)
     a = p.parse_args()
     main(
         a.load_config,
@@ -100,6 +109,8 @@ def entrypoint():
         a.use_contraction,
         a.create_visibility_mask,
         a.chunk,
+        a.simplify_mesh,
+        a.num_target_faces,
     )
 
 

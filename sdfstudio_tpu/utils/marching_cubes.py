@@ -68,11 +68,22 @@ def marching_tetrahedra(
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0),
 ) -> TriMesh:
-    """Vectorized marching tetrahedra. Returns a TriMesh in world coords."""
+    """Vectorized marching tetrahedra. Returns a TriMesh in world coords.
+
+    Prefers the in-tree C++ implementation (native/sst_native.cc —
+    identical 6-tet decomposition with exact edge-keyed vertex dedup);
+    falls back to the pure-numpy path below when no toolchain exists."""
     grid = np.asarray(grid, np.float32)
     nx, ny, nz = grid.shape
     if min(nx, ny, nz) < 2:
         return TriMesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+
+    from sdfstudio_tpu import native
+
+    res = native.marching_tets(grid, float(level), origin=origin, spacing=spacing)
+    if res is not None:
+        verts, faces = res
+        return TriMesh(verts, faces)
 
     # only process cubes whose 8 corners straddle the level
     vmin = grid
@@ -206,6 +217,22 @@ def get_surface_sliding(
                 if len(mesh.vertices):
                     meshes.append(mesh)
     return concatenate(meshes).merge_close_vertices()
+
+
+def simplify_mesh(mesh: TriMesh, target_faces: int) -> TriMesh:
+    """Quadric edge-collapse decimation via the in-tree C++ implementation
+    (the reference shells out to pymeshlab, marching_cubes.py:162-167).
+    Returns the input unchanged when the native library is unavailable or
+    the mesh is already small enough."""
+    if len(mesh.faces) <= target_faces:
+        return mesh
+    from sdfstudio_tpu import native
+
+    res = native.simplify_quadric(mesh.vertices, mesh.faces, target_faces)
+    if res is None:
+        return mesh
+    verts, faces = res
+    return TriMesh(verts, faces)
 
 
 def get_surface_occupancy(
