@@ -35,6 +35,12 @@ class DataManagerConfig:
     camera_optimizer: CameraOptimizerConfig = CameraOptimizerConfig()
     kind: str = "vanilla"  # vanilla | flexible (patch-warp source views)
     neighbors_num: Optional[int] = None
+    # subset image caching for datasets too large for HBM (the reference's
+    # CacheDataloader num_images_to_sample_from / num_times_to_repeat_images,
+    # dataloaders.py:40-115): cache N images on device, resample every M
+    # steps via a host->device swap (same shapes -> no recompile).
+    train_num_images_to_sample_from: int = -1  # -1 = cache everything
+    train_num_times_to_repeat_images: int = -1  # -1 = never resample
 
 
 def _pad_stack(arrays) -> np.ndarray:
@@ -73,10 +79,24 @@ class VanillaDataManager:
             eval_outputs.cameras if eval_outputs is not None else None
         )
 
-        self.train_data = self._stack(train_outputs)
-        self.eval_data = self._stack(eval_outputs) if eval_outputs is not None else None
+        full = self._stack(train_outputs)
+        n_total = full["image"].shape[0]
+        n_sub = config.train_num_images_to_sample_from
+        self.subset_mode = 0 < n_sub < n_total
+        if self.subset_mode:
+            # keep the full (padded) stack in host RAM; only a rotating
+            # subset lives in HBM (CacheDataloader semantics)
+            self._host_train_data = full
+            self._subset_rng = np.random.default_rng(303)
+            self.train_data = self._make_subset()
+        else:
+            self.train_data = {k: jnp.asarray(v) for k, v in full.items()}
+        ev = self._stack(eval_outputs) if eval_outputs is not None else None
+        self.eval_data = (
+            {k: jnp.asarray(v) for k, v in ev.items()} if ev is not None else None
+        )
 
-        self.num_train_images = self.train_data["image"].shape[0]
+        self.num_train_images = n_total
         self.image_height = self.train_data["image"].shape[1]
         self.image_width = self.train_data["image"].shape[2]
 
@@ -108,16 +128,39 @@ class VanillaDataManager:
             return img[..., :3]
 
         images = _pad_stack([load(f) for f in outputs.image_filenames])
-        data = {"image": jnp.asarray(images)}
+        data = {"image": images}  # host numpy; callers device_put
         if outputs.depths:
-            data["depth"] = jnp.asarray(_pad_stack(list(outputs.depths)))
+            data["depth"] = _pad_stack(list(outputs.depths))
         if outputs.normals:
-            data["normal"] = jnp.asarray(_pad_stack(list(outputs.normals)))
+            data["normal"] = _pad_stack(list(outputs.normals))
         if outputs.sensor_depths:
-            data["sensor_depth"] = jnp.asarray(_pad_stack(list(outputs.sensor_depths)))
+            data["sensor_depth"] = _pad_stack(list(outputs.sensor_depths))
         if outputs.fg_masks:
-            data["fg_mask"] = jnp.asarray(_pad_stack(list(outputs.fg_masks)))
+            data["fg_mask"] = _pad_stack(list(outputs.fg_masks))
         return data
+
+    def _make_subset(self) -> Dict[str, jnp.ndarray]:
+        """Device-cache a fresh random subset of the host image stack
+        (reference CacheDataloader resampling, dataloaders.py:94-115).
+        Shapes are constant across resamples, so swapping the returned dict
+        into the jitted step never retraces; the H2D transfer is the only
+        host cost."""
+        n_sub = self.config.train_num_images_to_sample_from
+        ids = self._subset_rng.choice(
+            self._host_train_data["image"].shape[0], size=n_sub, replace=False
+        ).astype(np.int32)
+        data = {k: jnp.asarray(v[ids]) for k, v in self._host_train_data.items()}
+        data["_global_ids"] = jnp.asarray(ids)
+        return data
+
+    def maybe_resample(self, step: int) -> None:
+        """Rotate the cached image subset every
+        ``train_num_times_to_repeat_images`` steps (no-op otherwise)."""
+        repeat = self.config.train_num_times_to_repeat_images
+        if not self.subset_mode or repeat <= 0:
+            return
+        if step > 0 and step % repeat == 0:
+            self.train_data = self._make_subset()
 
     # ------------------------------------------------------------------
     def init_camera_opt(self, rng: jax.Array):
@@ -139,7 +182,15 @@ class VanillaDataManager:
         data = data if data is not None else self.train_data
         R = num_rays or self.config.train_num_rays_per_batch
         kc, ky, kx = jax.random.split(rng, 3)
-        cam = jax.random.randint(kc, (R,), 0, self.num_train_images)
+        gids = data.get("_global_ids")
+        if gids is not None:
+            # subset cache mode: sample within the cached slab, but report
+            # GLOBAL camera ids (camera params / pose deltas / extents are
+            # indexed globally)
+            slot = jax.random.randint(kc, (R,), 0, gids.shape[0])
+            cam = gids[slot]
+        else:
+            slot = cam = jax.random.randint(kc, (R,), 0, self.num_train_images)
         if self.variable_res:
             # uniform within each sampled image's own extent (the reference
             # samples per-image from the BasicImages list,
@@ -157,7 +208,7 @@ class VanillaDataManager:
         else:
             y = jax.random.randint(ky, (R,), 0, self.image_height)
             x = jax.random.randint(kx, (R,), 0, self.image_width)
-        batch = {k: v[cam, y, x] for k, v in data.items()}
+        batch = {k: v[slot, y, x] for k, v in data.items() if k != "_global_ids"}
         ray_indices = jnp.stack([cam, y, x], axis=-1)
         return ray_indices, batch
 
@@ -181,7 +232,12 @@ class VanillaDataManager:
 
     # ------------------------------------------------------------------
     def eval_image_data(self, image_index: int) -> Dict[str, jnp.ndarray]:
-        data = self.eval_data if self.eval_data is not None else self.train_data
+        if self.eval_data is not None:
+            data = self.eval_data
+        elif self.subset_mode:
+            data = self._host_train_data  # full stack lives on host
+        else:
+            data = self.train_data
         cams = self.eval_cameras if self.eval_data is not None else self.train_cameras
         # crop away _pad_stack padding for variable-resolution datasets
         h = int(np.asarray(cams.height).reshape(-1)[image_index])
@@ -216,6 +272,10 @@ class FlexibleDataManager(VanillaDataManager):
 
     def __init__(self, config, train_outputs, eval_outputs=None, neighbors_num: Optional[int] = None):
         super().__init__(config, train_outputs, eval_outputs)
+        assert not self.subset_mode, (
+            "subset image caching is not supported with the flexible "
+            "(patch-warp) datamanager — source views must stay resident"
+        )
         assert train_outputs.pairs_srcs is not None, (
             "FlexibleDataManager needs pairs.txt (dataparser load_pairs=True)"
         )

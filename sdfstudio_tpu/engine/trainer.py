@@ -409,6 +409,9 @@ class Trainer:
             # (lax.cond); metric values are buffered as device arrays here.
             self.state, metrics = self._train_step(self.state)
             window_steps += 1
+            # subset image cache rotation (CacheDataloader semantics): a pure
+            # H2D swap with constant shapes — no recompile, no D2H fetch
+            self.datamanager.maybe_resample(step)
             if step % steps_per_log == 0 or step == max_iters - 1:
                 # steps dispatch asynchronously; timing must cover the whole
                 # window up to this sync, divided by the steps in the window

@@ -66,3 +66,37 @@ def test_eval_image_data_crops_padding(varres_outputs):
     dm = VanillaDataManager(DataManagerConfig(), varres_outputs)
     d = dm.eval_image_data(1)
     assert d["image"].shape == (16, 20, 3)
+
+
+def test_subset_image_cache(varres_outputs):
+    """CacheDataloader semantics: N-of-all device cache + rotation."""
+    cfg = DataManagerConfig(
+        train_num_images_to_sample_from=2, train_num_times_to_repeat_images=5
+    )
+    dm = VanillaDataManager(cfg, varres_outputs)
+    assert dm.subset_mode
+    assert dm.train_data["image"].shape[0] == 2
+    assert dm.num_train_images == 3  # global count preserved
+    gids0 = np.asarray(dm.train_data["_global_ids"])
+    idx, batch = dm.sample_train_batch(jax.random.PRNGKey(0), num_rays=512)
+    idx = np.asarray(idx)
+    # only cached images are sampled, reported as GLOBAL ids
+    assert set(np.unique(idx[:, 0])) <= set(gids0.tolist())
+    # pixels match the host stack at the global index
+    host = dm._host_train_data["image"]
+    assert np.allclose(np.asarray(batch["image"]), host[idx[:, 0], idx[:, 1], idx[:, 2]])
+    # bounds respect the GLOBAL per-image extents
+    hs = np.array([24, 16, 28]); ws = np.array([32, 20, 24])
+    assert (idx[:, 1] < hs[idx[:, 0]]).all() and (idx[:, 2] < ws[idx[:, 0]]).all()
+    # rotation changes the cached subset eventually, same shapes
+    shapes_before = {k: v.shape for k, v in dm.train_data.items()}
+    changed = False
+    for step in range(5, 40, 5):
+        dm.maybe_resample(step)
+        if not np.array_equal(np.asarray(dm.train_data["_global_ids"]), gids0):
+            changed = True
+            break
+    assert changed
+    assert {k: v.shape for k, v in dm.train_data.items()} == shapes_before
+    # full-image eval still sees every image (from the host stack)
+    assert dm.eval_image_data(2)["image"].shape == (28, 24, 3)
