@@ -155,11 +155,14 @@ class VanillaDataManager:
 
     def maybe_resample(self, step: int) -> None:
         """Rotate the cached image subset every
-        ``train_num_times_to_repeat_images`` steps (no-op otherwise)."""
+        ``train_num_times_to_repeat_images`` steps (no-op otherwise). Robust
+        to multi-step strides (the trainer advances K steps per call)."""
         repeat = self.config.train_num_times_to_repeat_images
         if not self.subset_mode or repeat <= 0:
             return
-        if step > 0 and step % repeat == 0:
+        last = getattr(self, "_last_resample_step", 0)
+        if step - last >= repeat:
+            self._last_resample_step = step
             self.train_data = self._make_subset()
 
     # ------------------------------------------------------------------

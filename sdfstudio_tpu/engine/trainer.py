@@ -50,6 +50,12 @@ class TrainerConfig:
     eval-image renders — loading ANY second executable permanently degrades
     every subsequent train step to ~5.8s on this deployment — and instead
     checkpoint + eval once at the end of the run/segment."""
+    steps_per_call: int = 0
+    """Train steps fused into ONE jitted program via lax.scan. Remote-TPU
+    deployments pay a per-dispatch round trip (measured >1s through the axon
+    relay — 2000 dispatched steps took >48 min while block_until_ready
+    claimed ~1ms/step); scanning K steps per call amortizes it K-fold.
+    0 = auto (25 on TPU backends, 1 on CPU)."""
 
 
 @struct.dataclass
@@ -88,6 +94,9 @@ class Trainer:
         # host-side mirror of state.step: reading int(state.step) is a
         # device->host fetch, which poisons the program cache (docs/tpu-design.md)
         self._host_step: Optional[int] = None
+        # set by viewer.setup_viewer; the train loop services render
+        # requests between steps (cross-thread JAX dispatch deadlocks)
+        self.viewer_state = None
 
     # ------------------------------------------------------------------
     def setup(self, rng: Optional[jax.Array] = None):
@@ -130,6 +139,9 @@ class Trainer:
         # image stack is tens of MB and would otherwise be inlined into the
         # HLO as constants
         self._jit_train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._jit_multi_step = jax.jit(
+            self._multi_step_impl, static_argnums=(3,), donate_argnums=(0,)
+        )
         self._render_chunk = jax.jit(self._render_chunk_impl)
         return self.state
 
@@ -148,6 +160,25 @@ class Trainer:
         return self._jit_train_step(
             state, self.datamanager.train_data, self.datamanager.train_cameras
         )
+
+    def _train_multi(self, state: TrainState, num_steps: int):
+        """``num_steps`` train steps as ONE dispatched program (lax.scan).
+        Returns (state, metrics [num_steps, M]). Amortizes the per-dispatch
+        relay round trip (see TrainerConfig.steps_per_call)."""
+        if state.rng is None:
+            state = state.replace(rng=jax.random.PRNGKey(0))
+        return self._jit_multi_step(
+            state,
+            self.datamanager.train_data,
+            self.datamanager.train_cameras,
+            num_steps,
+        )
+
+    def _multi_step_impl(self, state: TrainState, train_data, cameras, num_steps: int):
+        def body(s, _):
+            return self._train_step_impl(s, train_data, cameras)
+
+        return jax.lax.scan(body, state, None, length=num_steps)
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, train_data, cameras):
@@ -400,48 +431,66 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_steps = 0
         steps_per_log = max(cfg.steps_per_log, 1)
+        K = cfg.steps_per_call or (1 if jax.default_backend() == "cpu" else 25)
+        K = max(1, min(K, steps_per_log))
+
+        def crossed(cadence: int, lo: int, hi: int) -> bool:
+            """Does (lo, hi] contain a multiple of cadence?"""
+            return cadence > 0 and hi // cadence > lo // cadence
+
         history = []  # (step, device metrics vec); fetched ONCE after the loop
-        for step in range(start_step, max_iters):
-            # the ONLY device interaction per step is the train program
+        step = start_step
+        while step < max_iters:
+            # the ONLY device interaction per window is the train program
             # itself: any other program — and any device->host fetch — evicts
             # it from the runtime's program cache, degrading every later step
             # ~1000x (docs/tpu-design.md). Grid updates run inside the step
             # (lax.cond); metric values are buffered as device arrays here.
-            self.state, metrics = self._train_step(self.state)
-            window_steps += 1
+            # K steps execute as ONE dispatched scan program: per-dispatch
+            # relay round trips (>1s measured) would otherwise dominate.
+            k = min(K, max_iters - step)
+            if k == 1:
+                self.state, last_vec = self._train_step(self.state)
+            else:
+                self.state, mstack = self._train_multi(self.state, k)
+                last_vec = jax.tree_util.tree_map(lambda x: x[-1], mstack)
+            lo, step = step, step + k
+            window_steps += k
             # subset image cache rotation (CacheDataloader semantics): a pure
             # H2D swap with constant shapes — no recompile, no D2H fetch
             self.datamanager.maybe_resample(step)
-            if step % steps_per_log == 0 or step == max_iters - 1:
+            if self.viewer_state is not None:
+                # interleaved viewer rendering, reference trainer.py:166
+                self.viewer_state.service()
+            if crossed(steps_per_log, lo, step) or step >= max_iters:
                 # steps dispatch asynchronously; timing must cover the whole
                 # window up to this sync, divided by the steps in the window
                 jax.block_until_ready(self.state.params)  # sync, NOT a fetch
                 dt = (time.perf_counter() - window_t0) / max(window_steps, 1)
                 window_t0 = time.perf_counter()
                 window_steps = 0
-                history.append((step, metrics))
-                self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step)
-                self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step)
+                history.append((step - 1, last_vec))
+                self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step - 1)
+                self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step - 1)
                 print(
-                    f"step {step + 1}/{max_iters}  rays/s={num_rays / dt:,.0f}"
-                    f"  eta={self.writer.eta(step, max_iters)}",
+                    f"step {step}/{max_iters}  rays/s={num_rays / dt:,.0f}"
+                    f"  eta={self.writer.eta(step - 1, max_iters)}",
                     flush=True,
                 )
 
             if (
                 not cfg.defer_heavy_ops
-                and cfg.steps_per_eval_image > 0
-                and (step + 1) % cfg.steps_per_eval_image == 0
+                and crossed(cfg.steps_per_eval_image, lo, step)
             ):
                 idx = int(np.random.RandomState(step).randint(self.datamanager.num_eval_images))
                 m = self.eval_image_metrics(idx)
-                self.writer.put_dict(m, step, prefix="eval/")
+                self.writer.put_dict(m, step - 1, prefix="eval/")
                 print(f"[eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}", flush=True)
 
             if not cfg.defer_heavy_ops and (
-                (step + 1) % cfg.steps_per_save == 0 or step == max_iters - 1
+                crossed(cfg.steps_per_save, lo, step) or step >= max_iters
             ):
-                self.save_checkpoint(step + 1)
+                self.save_checkpoint(step)
 
         self._host_step = max_iters
         # training is done; from here on device<->host traffic is fine

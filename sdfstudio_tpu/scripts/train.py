@@ -173,12 +173,21 @@ def main(config: Config):
     import jax
 
     trainer.setup(jax.random.PRNGKey(config.seed))
+    viewer = None
     if config.vis == "viewer":
         from sdfstudio_tpu.viewer.server import setup_viewer
 
-        setup_viewer(trainer)
+        viewer = setup_viewer(trainer)
     trainer.train()
     print("training finished", flush=True)
+    if viewer is not None:
+        # keep serving the viewer after training (reference trainer keeps
+        # the viewer alive post-train; ctrl+c to exit)
+        print("viewer still running — ctrl+c to exit", flush=True)
+        try:
+            viewer.serve_idle()
+        except KeyboardInterrupt:
+            pass
 
 
 SEGMENT_ENV = "SST_SEGMENT_CHILD"

@@ -68,13 +68,58 @@ loop();
 
 
 class ViewerState:
-    """Holds the trainer handle + render lock."""
+    """Viewer bridge between HTTP handler threads and the training thread.
+
+    JAX dispatch is not safe to interleave from a second thread against a
+    running train loop (observed deadlocks), and on the TPU deployment a
+    second hot program evicts the train step from the device program cache
+    (docs/tpu-design.md). So HTTP threads only ENQUEUE requests; the
+    training thread services them between steps via :meth:`service` — the
+    same interleaving the reference uses (trainer.py:166 calls
+    _update_viewer_state inside the loop). For view-only sessions (no train
+    loop) call :meth:`serve_idle` from the main thread."""
 
     def __init__(self, trainer):
         self.trainer = trainer
-        self.lock = threading.Lock()
+        import queue
 
+        self._queue = queue.Queue()
+
+    # ---------------- HTTP-thread side ----------------
     def render_pose(self, azimuth, elevation, radius, width, height, output="rgb"):
+        req = {
+            "args": (azimuth, elevation, radius, width, height, output),
+            "event": threading.Event(),
+        }
+        self._queue.put(req)
+        if not req["event"].wait(timeout=600.0):
+            raise TimeoutError("render not serviced (is the train loop running?)")
+        if "error" in req:
+            raise RuntimeError(req["error"])
+        return req["img"]
+
+    # ---------------- training-thread side ----------------
+    def service(self, max_requests: int = 2) -> None:
+        """Render pending viewer requests; call between train steps."""
+        for _ in range(max_requests):
+            if self._queue.empty():
+                return
+            req = self._queue.get_nowait()
+            try:
+                req["img"] = self._render(*req["args"])
+            except Exception as e:  # surface errors to the browser
+                req["error"] = f"{type(e).__name__}: {e}"
+            req["event"].set()
+
+    def serve_idle(self) -> None:
+        """Service loop for view-only sessions (no training)."""
+        import time as _time
+
+        while True:
+            self.service()
+            _time.sleep(0.02)
+
+    def _render(self, azimuth, elevation, radius, width, height, output="rgb"):
         import jax
         import jax.numpy as jnp
 
@@ -101,39 +146,35 @@ class ViewerState:
             width=width,
             height=height,
         )
+        # runs on the TRAINING thread via service(); no locking needed
         trainer = self.trainer
-        with self.lock:
-            bundle = cams.generate_image_rays(0)
-            chunk = min(
-                trainer.model.config.eval_num_rays_per_chunk, width * height
-            )
-            n = bundle.origins.shape[0]
-            n_pad = ((n + chunk - 1) // chunk) * chunk
-            pad = n_pad - n
-            bundle = jax.tree_util.tree_map(
-                lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
-                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n and pad
+        state = trainer.state
+        bundle = cams.generate_image_rays(0)
+        chunk = min(trainer.model.config.eval_num_rays_per_chunk, width * height)
+        n = bundle.origins.shape[0]
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        pad = n_pad - n
+        bundle = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n and pad
+            else x,
+            bundle,
+        )
+        outs = []
+        step = state.step.astype(jnp.float32)
+        for i in range(n_pad // chunk):
+            sl = jax.tree_util.tree_map(
+                lambda x: x[i * chunk : (i + 1) * chunk]
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_pad
                 else x,
                 bundle,
             )
-            outs = []
-            step = trainer.state.step.astype(jnp.float32)
-            for i in range(n_pad // chunk):
-                sl = jax.tree_util.tree_map(
-                    lambda x: x[i * chunk : (i + 1) * chunk]
-                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_pad
-                    else x,
-                    bundle,
-                )
-                outs.append(
-                    trainer._render_chunk(
-                        trainer.state.params, sl, step, trainer.state.model_state
-                    )
-                )
-            merged = {
-                k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
-                for k in outs[0]
-            }
+            outs.append(
+                trainer._render_chunk(state.params, sl, step, state.model_state)
+            )
+        merged = {
+            k: np.concatenate([np.asarray(o[k]) for o in outs])[:n] for k in outs[0]
+        }
         img = merged.get(output, merged["rgb"]).reshape(height, width, -1)
         if output == "depth":
             from sdfstudio_tpu.utils.colormaps import apply_depth_colormap
@@ -179,9 +220,12 @@ def _make_handler(state: ViewerState):
 
 
 def setup_viewer(trainer, port: int = 7007) -> ViewerState:
-    """Start the viewer server in a daemon thread (the analog of
-    reference viewer_utils.setup_viewer)."""
+    """Start the viewer HTTP server in a daemon thread (the analog of
+    reference viewer_utils.setup_viewer). Rendering itself happens on the
+    training thread: the trainer's loop calls ``viewer_state.service()``
+    between steps."""
     state = ViewerState(trainer)
+    trainer.viewer_state = state
     server = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(state))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
