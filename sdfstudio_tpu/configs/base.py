@@ -38,6 +38,11 @@ class Config:
     dataparser_class: Optional[Type] = None
     optimizers: Dict[str, OptimizerGroupConfig] = field(default_factory=dict)
     seed: int = 42
+    enable_profiler: bool = False
+    """Wall-clock section profiler table at exit (reference
+    LoggingConfig.enable_profiler, base_config.py:127). NOTE: on remote-TPU
+    relays wall-clock sections measure dispatch, not device time — see
+    docs/tpu-design.md."""
     matmul_precision: str = "high"
     """TPU matmul precision: default (bf16) | high (bf16_3x ~ f32) | highest
     (f32). Surface methods train in f32 in the reference

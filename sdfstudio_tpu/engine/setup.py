@@ -26,6 +26,10 @@ def setup_trainer(config: Config, test_mode: bool = False) -> Trainer:
     from sdfstudio_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if getattr(config, "enable_profiler", False):
+        from sdfstudio_tpu.utils import profiler
+
+        profiler.enable()  # flush table at exit is self-registered
     if config.data is not None:
         config.dataparser.data = Path(config.data)
     parser = config.dataparser_class(config.dataparser)

@@ -24,6 +24,7 @@ from flax import struct
 from sdfstudio_tpu.data.datamanager import VanillaDataManager
 from sdfstudio_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
 from sdfstudio_tpu.parallel import mesh as mesh_lib
+from sdfstudio_tpu.utils import profiler
 from sdfstudio_tpu.utils import writer as writer_lib
 from sdfstudio_tpu.utils.metrics import psnr as psnr_fn, ssim as ssim_fn
 
@@ -145,6 +146,7 @@ class Trainer:
         self._render_chunk = jax.jit(self._render_chunk_impl)
         return self.state
 
+    @profiler.time_function
     def _train_step(self, state: TrainState, rng: Optional[jax.Array] = None):
         """One training step. The PRNG is carried in TrainState and split
         INSIDE the jitted program: this deployment's runtime keeps only a
@@ -161,6 +163,7 @@ class Trainer:
             state, self.datamanager.train_data, self.datamanager.train_cameras
         )
 
+    @profiler.time_function
     def _train_multi(self, state: TrainState, num_steps: int):
         """``num_steps`` train steps as ONE dispatched program (lax.scan).
         Returns (state, metrics [num_steps, M]). Amortizes the per-dispatch
@@ -405,6 +408,7 @@ class Trainer:
             off += c
         return out
 
+    @profiler.time_function
     def eval_image_metrics(self, camera_index: int) -> Dict[str, float]:
         """PSNR/SSIM on one eval image (reference base_pipeline.py:300-318)."""
         outputs = self.render_image(self.state.params, camera_index)
@@ -513,6 +517,7 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------
+    @profiler.time_function
     def save_checkpoint(self, step: int):
         """Packed checkpoint (reference trainer.py:277-306 semantics; see
         utils/fast_checkpoint.py for why not per-array orbax here)."""
