@@ -6,19 +6,37 @@ Runs the REAL full-size neus-facto training step (DTU-shape images,
 2048 rays/batch, 256+96 proposal + 48 NeuS samples, hash grid 2^19) on a
 synthetic scene (throughput is content-independent) and prints one JSON
 line. vs_baseline is relative to the 45k rays/s RTX3090 reference number.
+
+Measurement protocol (docs/tpu-design.md "Dispatch latency and honest
+timing"): on the remote-TPU relay `jax.block_until_ready` does NOT wait for
+device completion, so a dispatch-loop timing is a dispatch-rate artifact.
+This bench therefore runs TWO child processes that each enqueue train work
+(K-step lax.scan programs) and end with a device->host readback of the loss
+(which genuinely waits), with different step counts; the per-step time is
+the SLOPE between the two totals — the constant first-readback cost
+(~115s, reproducible to ±0.1s) cancels. Each child stays within the relay's
+cheap dispatch-queue depth (~20 calls).
 """
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
 
 BASELINE_RAYS_PER_SEC = 45000.0  # RTX 3090 reference (BASELINE.md)
+K = 10          # steps per scanned program (K>~16 faults this TPU compiler)
+CALLS_SMALL = 1
+CALLS_LARGE = 20
+NUM_RAYS = 2048
 
 
-def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_images: int = 49):
+def child(num_calls: int):
+    """Enqueue num_calls K-step scan programs, then readback. Prints total."""
+    import dataclasses
+
     import jax
 
     jax.config.update("jax_default_matmul_precision", "high")
@@ -26,19 +44,18 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
     from sdfstudio_tpu.data.synthetic import generate_sphere_dataset
     from sdfstudio_tpu.engine.setup import setup_trainer
     from sdfstudio_tpu.scripts.train import parse_args
-    import dataclasses
 
-    data_dir = Path(tempfile.gettempdir()) / f"sst_bench_sphere_{image_size}_{num_images}"
+    data_dir = Path(tempfile.gettempdir()) / "sst_bench_sphere_384_49"
     if not (data_dir / "meta_data.json").exists():
         print("generating benchmark dataset...", file=sys.stderr)
         generate_sphere_dataset(
-            data_dir, num_images=num_images, width=image_size, height=image_size,
+            data_dir, num_images=49, width=384, height=384,
             with_mono_prior=False, with_fg_mask=False,
         )
 
     config = parse_args(["neus-facto", "sdfstudio-data", "--data", str(data_dir)])
     config.datamanager = dataclasses.replace(
-        config.datamanager, train_num_rays_per_batch=num_rays
+        config.datamanager, train_num_rays_per_batch=NUM_RAYS
     )
     config.output_dir = Path(tempfile.gettempdir()) / "sst_bench_out"
     config.timestamp = "bench"
@@ -46,26 +63,50 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
     trainer = setup_trainer(config, test_mode=True)
     trainer.setup(jax.random.PRNGKey(0))
 
-    # warmup / compile (rng is carried in TrainState; no per-step host ops)
-    for _ in range(3):
-        trainer.state, metrics = trainer._train_step(trainer.state)
+    # compile (persistent-cached across processes) + warm first call
+    trainer.state, _ = trainer._train_multi(trainer.state, K)
     jax.block_until_ready(trainer.state.params)
 
     t0 = time.perf_counter()
-    for _ in range(num_steps):
-        trainer.state, metrics = trainer._train_step(trainer.state)
-    jax.block_until_ready(trainer.state.params)
+    for _ in range(num_calls):
+        trainer.state, metrics = trainer._train_multi(trainer.state, K)
+    last = metrics[-1]
+    loss = float(trainer.unpack_metrics(last)["loss"])  # real device readback
     dt = time.perf_counter() - t0
+    print(f"BENCH_CHILD calls={num_calls} steps={num_calls * K} "
+          f"total={dt:.3f} loss={loss:.4f}", flush=True)
 
-    rays_per_sec = num_steps * num_rays / dt
+
+def run_child(num_calls: int) -> float:
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", str(num_calls)],
+        capture_output=True, text=True, timeout=3600,
+        cwd=Path(__file__).parent,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_CHILD"):
+            print(line, file=sys.stderr)
+            return float(line.split("total=")[1].split()[0])
+    print(out.stdout[-2000:], file=sys.stderr)
+    print(out.stderr[-4000:], file=sys.stderr)
+    raise RuntimeError(f"bench child (calls={num_calls}) failed")
+
+
+def main():
+    t_small = run_child(CALLS_SMALL)
+    t_large = run_child(CALLS_LARGE)
+    d_steps = (CALLS_LARGE - CALLS_SMALL) * K
+    per_step = max(t_large - t_small, 1e-9) / d_steps
+    rays_per_sec = NUM_RAYS / per_step
     print(
-        f"steps={num_steps} rays/batch={num_rays} time={dt:.2f}s it/s={num_steps / dt:.2f}",
+        f"slope: {per_step * 1e3:.2f} ms/step over {d_steps} steps "
+        f"(T_small={t_small:.2f}s T_large={t_large:.2f}s)",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "neus-facto train rays/sec (1 chip)",
+                "metric": "neus-facto train rays/sec (1 chip, honest slope)",
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
@@ -73,10 +114,10 @@ def main(num_steps: int = 50, num_rays: int = 2048, image_size: int = 384, num_i
         ),
         flush=True,
     )
-    # sanity: fetch the last loss AFTER the headline line — the first
-    # device->host fetch costs ~minutes on this deployment (docs/tpu-design.md)
-    print(f"loss={trainer.unpack_metrics(metrics)['loss']:.4f}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+    else:
+        main()

@@ -56,7 +56,9 @@ class TrainerConfig:
     deployments pay a per-dispatch round trip (measured >1s through the axon
     relay — 2000 dispatched steps took >48 min while block_until_ready
     claimed ~1ms/step); scanning K steps per call amortizes it K-fold.
-    0 = auto (25 on TPU backends, 1 on CPU)."""
+    0 = auto (10 on TPU backends, 1 on CPU). K>~16 faults this TPU
+    stack's compiler ("TPU device error" on scan-25/100 of the neus-facto
+    step; scan-5/10/16 fine), so auto stays at 10."""
 
 
 @struct.dataclass
@@ -435,7 +437,7 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_steps = 0
         steps_per_log = max(cfg.steps_per_log, 1)
-        K = cfg.steps_per_call or (1 if jax.default_backend() == "cpu" else 25)
+        K = cfg.steps_per_call or (1 if jax.default_backend() == "cpu" else 10)
         K = max(1, min(K, steps_per_log))
 
         def crossed(cadence: int, lo: int, hi: int) -> bool:
