@@ -233,21 +233,12 @@ class SDFFieldNet(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def geonetwork(
-        self, x: jnp.ndarray, hash_mask: Optional[jnp.ndarray] = None
-    ) -> jnp.ndarray:
-        """SDF + geometric feature (reference forward_geonetwork,
-        sdf_field.py:380-410). ``x`` are (possibly contracted) world
-        positions in [-2, 2]; returns [..., 1 + geo_feat_dim]."""
+    def _geo_mlp(self, x: jnp.ndarray, feature: jnp.ndarray) -> jnp.ndarray:
+        """The MLP part of the geonetwork, with the grid feature as an
+        explicit input (so input-gradients can be chained analytically
+        through the encode jacobian instead of jax.jvp through the table
+        gather — see HashEncoding)."""
         cfg = self.config
-        if cfg.use_grid_feature:
-            positions = (x + 2.0) / 4.0  # sdf_field.py:384
-            feature = self.encoding(positions)
-            if hash_mask is not None:
-                feature = feature * hash_mask
-        else:
-            feature = jnp.zeros((*x.shape[:-1], self.grid_dim), dtype=x.dtype)
-
         pe = self.position_encoding(x)
         if not cfg.use_position_encoding:
             pe = jnp.zeros_like(pe)
@@ -262,6 +253,65 @@ class SDFFieldNet(nn.Module):
             if l < n - 1:
                 h = softplus_beta100(h)
         return h
+
+    def _grid_feature(
+        self, x: jnp.ndarray, hash_mask: Optional[jnp.ndarray], want_jac: bool
+    ):
+        """Grid feature (and optionally its jacobian wrt x) at (possibly
+        contracted) positions x in [-2, 2] (normalization sdf_field.py:384)."""
+        cfg = self.config
+        if not cfg.use_grid_feature:
+            z = jnp.zeros((*x.shape[:-1], self.grid_dim), dtype=x.dtype)
+            return (z, jnp.zeros((*z.shape, 3), dtype=x.dtype)) if want_jac else (z, None)
+        positions = (x + 2.0) / 4.0  # sdf_field.py:384
+        if want_jac and cfg.encoding_type == "hash":
+            feature, jac = self.encoding(positions, want_jac=True)
+            jac = jac / 4.0  # chain through the normalization
+        elif want_jac:
+            # non-hash encodings: jacobian via jvp (their gathers are plain
+            # jnp.take, which supports forward mode)
+            feature = self.encoding(positions)
+            cols = []
+            for a in range(3):
+                t = jnp.zeros_like(positions).at[..., a].set(0.25)
+                _, ja = jax.jvp(self.encoding, (positions,), (t,))
+                cols.append(ja)
+            jac = jnp.stack(cols, axis=-1)
+        else:
+            feature = self.encoding(positions)
+            jac = None
+        if hash_mask is not None:
+            feature = feature * hash_mask
+            if jac is not None:
+                jac = jac * hash_mask[..., None]
+        return feature, jac
+
+    def geonetwork(
+        self, x: jnp.ndarray, hash_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """SDF + geometric feature (reference forward_geonetwork,
+        sdf_field.py:380-410). ``x`` are (possibly contracted) world
+        positions in [-2, 2]; returns [..., 1 + geo_feat_dim]."""
+        feature, _ = self._grid_feature(x, hash_mask, want_jac=False)
+        return self._geo_mlp(x, feature)
+
+    def geonetwork_with_gradient(
+        self, x: jnp.ndarray, hash_mask: Optional[jnp.ndarray] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(geonetwork output, d sdf / dx) from ONE table gather.
+
+        The encode jacobian is analytic; only the (cheap, MXU-friendly)
+        MLP is linearized. Replaces 3 jax.jvp passes through the full
+        geonetwork, whose table gathers compiled to four independent
+        scatter-add instances in the training backward pass (the dominant
+        cost of the original train step; docs/tpu-design.md)."""
+        feature, fjac = self._grid_feature(x, hash_mask, want_jac=True)
+        h, lin = jax.linearize(self._geo_mlp, x, feature)
+        grads = []
+        for a in range(3):
+            tx = jnp.zeros_like(x).at[..., a].set(1.0)
+            grads.append(lin(tx, fjac[..., a])[..., 0])
+        return h, jnp.stack(grads, axis=-1)
 
     def get_sdf_feat(
         self, x: jnp.ndarray, hash_mask: Optional[jnp.ndarray] = None
@@ -491,9 +541,17 @@ class SDFField:
                 return grads, jnp.moveaxis(sdf6, 0, -1)  # [N, 6]
             return grads
 
-        grads = analytic_sdf_gradient(
-            lambda p: geonet(p)[..., 0], x, mode=self.config.analytic_gradient_mode
-        )
+        if self.config.analytic_gradient_mode == "jvp":
+            _, grads = self.module.apply(
+                {"params": params},
+                x,
+                hash_mask,
+                method=SDFFieldNet.geonetwork_with_gradient,
+            )
+        else:
+            grads = analytic_sdf_gradient(
+                lambda p: geonet(p)[..., 0], x, mode=self.config.analytic_gradient_mode
+            )
         if return_sampled_sdf:
             return grads, None
         return grads
@@ -543,12 +601,9 @@ class SDFField:
             otherwise keeps every encoding/MLP intermediate alive into the
             outer backward pass — at DTU scale that overflows HBM (observed
             18GB vs 15.75GB on v5e)."""
-            geonet = self.geonetwork_fn(params, hash_mask)
-            h = geonet(inputs)
-            sdf, geo_feat = h[..., :1], h[..., 1:]
-
             sampled_sdf = None
             if self.config.use_numerical_gradients:
+                h = self.geonetwork_fn(params, hash_mask)(inputs)
                 gradients, sampled_sdf = self.gradient(
                     params,
                     inputs,
@@ -557,12 +612,23 @@ class SDFField:
                     skip_spatial_distortion=True,
                     return_sampled_sdf=True,
                 )
+            elif self.config.analytic_gradient_mode == "jvp":
+                # one gather: primal + analytic-jacobian gradient together
+                h, gradients = self.module.apply(
+                    {"params": params},
+                    inputs,
+                    hash_mask,
+                    method=SDFFieldNet.geonetwork_with_gradient,
+                )
             else:
+                geonet = self.geonetwork_fn(params, hash_mask)
+                h = geonet(inputs)
                 gradients = analytic_sdf_gradient(
                     lambda p: geonet(p)[..., 0],
                     inputs,
                     mode=self.config.analytic_gradient_mode,
                 )
+            sdf, geo_feat = h[..., :1], h[..., 1:]
 
             rgb = self.module.apply(
                 {"params": params},

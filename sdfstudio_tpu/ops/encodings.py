@@ -201,6 +201,43 @@ def _level_resolutions(num_levels: int, min_res: int, max_res: int) -> np.ndarra
     return np.floor(min_res * growth**levels).astype(np.int32)
 
 
+@jax.custom_vjp
+def table_gather(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather columns of an SOA feature table: [F, R], [..., K] -> [F, ..., K].
+
+    The forward is a plain XLA gather (~160M rows/s measured on v5e). The
+    custom VJP replaces XLA's scatter-add transpose — which executes at
+    ~15M updates/s on TPU regardless of sortedness hints — with the
+    sort+cumsum construction in ops/scatter.py (~10x faster at hash-grid
+    sizes). NOTE: custom_vjp forbids forward-mode; callers that need input
+    jacobians use HashEncoding's analytic ``want_jac`` path instead of
+    jax.jvp through the encode.
+    """
+    return jnp.take(table_t, idx, axis=1)
+
+
+def _table_gather_fwd(table_t, idx):
+    return table_gather(table_t, idx), (idx, table_t.shape)
+
+
+def _table_gather_bwd(res, g):
+    from sdfstudio_tpu.ops.scatter import sorted_segment_add
+
+    idx, (F, R) = res
+    flat_i = idx.reshape(-1)
+    flat_g = jnp.moveaxis(g, 0, -1).reshape(-1, F)  # [M, F]
+    if jax.default_backend() == "cpu":
+        # CPU scatter-add is fast; the sort construction's R-query argsorts
+        # are not. Strategy picked at trace time per backend.
+        dtable = jnp.zeros((R, F), flat_g.dtype).at[flat_i].add(flat_g)
+    else:
+        dtable = sorted_segment_add(flat_i, flat_g, R)  # [R, F]
+    return dtable.T, None
+
+
+table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
+
+
 class HashEncoding(nn.Module):
     """Instant-NGP multi-resolution hash grid (functional spec:
     reference encodings.py:269-403; actually executed as tcnn HashGrid from
@@ -211,6 +248,14 @@ class HashEncoding(nn.Module):
 
     A level whose dense grid ``(res+1)^3`` fits within ``2**log2_hashmap_size``
     entries is indexed densely (no collisions), like tcnn.
+
+    ``__call__(x, want_jac=True)`` additionally returns the analytic
+    jacobian d(out)/dx — computed from the SAME single gather — so SDF
+    input-gradients never need jax.jvp through the table gather (which
+    both forbids the custom VJP above and, when traced 3x for basis
+    tangents, compiled to FOUR independent 12.6M-row scatter instances in
+    the train step's backward — measured ~3.7s/step of the original
+    5.8s/step on v5e).
     """
 
     num_levels: int = 16
@@ -275,7 +320,9 @@ class HashEncoding(nn.Module):
         return idx + level_offset, offset
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, want_jac: bool = False):
+        """Encode ``x`` in [0,1]^3 -> [..., L*F]; with ``want_jac`` also
+        return d(out)/dx [..., L*F, 3] from the same single gather."""
         table = self.param(
             "hash_table",
             lambda key, shape: (jax.random.uniform(key, shape) * 2.0 - 1.0)
@@ -284,9 +331,13 @@ class HashEncoding(nn.Module):
         )
         idx, offset = self.corner_indices(x)  # [..., L, 8], [..., L, 3]
 
-        w = offset
+        o = offset
         if self.smoothstep:
-            w = w * w * (3.0 - 2.0 * w)
+            w = o * o * (3.0 - 2.0 * o)
+            dw = 6.0 * o * (1.0 - o)  # d smoothstep / d offset
+        else:
+            w = o
+            dw = jnp.ones_like(o)
         # Trilinear blend: corner c has weight prod_b (w_b if bit set else 1-w_b).
         corners = jnp.asarray(
             [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)],
@@ -303,18 +354,39 @@ class HashEncoding(nn.Module):
         # (observed 18GB/15.75GB OOM at DTU scale). Features are gathered
         # SOA ([F, ..., L*8]) and contracted per feature.
         batch = x.shape[:-1]
-        K = self.num_levels * 8
+        L, FPL = self.num_levels, self.features_per_level
+        K = L * 8
         idx_flat = idx.reshape(*batch, K)
-        w_flat = weights.reshape(*batch, K)
         table_t = table.T  # [F, L*T]
-        feats = jnp.take(table_t, idx_flat, axis=1)  # [F, ..., K]
-        weighted = feats * w_flat[None]  # [F, ..., K]
-        per_level = jnp.sum(
-            weighted.reshape(self.features_per_level, *batch, self.num_levels, 8),
-            axis=-1,
-        )  # [F, ..., L]
-        out = jnp.moveaxis(per_level, 0, -1)  # [..., L, F]
-        return out.reshape(*batch, self.out_dim)
+        feats = table_gather(table_t, idx_flat)  # [F, ..., K]
+
+        def blend(wts):
+            weighted = feats * wts.reshape(*batch, K)[None]
+            per_level = jnp.sum(weighted.reshape(FPL, *batch, L, 8), axis=-1)
+            return jnp.moveaxis(per_level, 0, -1).reshape(*batch, L * FPL)
+
+        out = blend(weights)
+        if not want_jac:
+            return out
+
+        # d weight_c / d x_a = res_l * dsmooth_a * sign_a(c) * prod_{b!=a} cw_b
+        res = jnp.asarray(
+            _level_resolutions(L, self.min_res, self.max_res)
+        ).astype(x.dtype)  # [L]
+        sign = 2.0 * corners - 1.0  # [8, 3]
+        # exclusive products over the 3 axes (avoid division: cw can be 0)
+        p0 = cw[..., 1] * cw[..., 2]
+        p1 = cw[..., 0] * cw[..., 2]
+        p2 = cw[..., 0] * cw[..., 1]
+        pexcl = jnp.stack([p0, p1, p2], axis=-1)  # [..., L, 8, 3]
+        dweights = (
+            sign[None, :, :]
+            * dw[..., None, :]
+            * pexcl
+            * res[:, None, None]
+        )  # [..., L, 8, 3]
+        jac = jnp.stack([blend(dweights[..., a]) for a in range(3)], axis=-1)
+        return out, jac  # [..., L*F], [..., L*F, 3]
 
 
 class PeriodicVolumeEncoding(nn.Module):
