@@ -275,6 +275,17 @@ def fused_mlp(
     # pad dims to LANE, rows to block_rows
     dims = [d_in] + [w.shape[1] for w in weights]
     pdims = [_round_up(d, LANE) for d in dims]
+
+    # Adaptive block_rows: the backward kernel holds x, g, dx, every
+    # activation + preactivation, and double-buffered streamed blocks in
+    # VMEM at once. A fixed 1024 overflowed the 16MB scoped-vmem limit by
+    # 12KB for the [N, 384->256->256->128] color net (compile-time OOM on
+    # v5e), so size the block from an estimate with headroom.
+    fixed_bytes = 8 * sum(pd_i * pd_o for pd_i, pd_o in zip(pdims[:-1], pdims[1:]))
+    per_row_bytes = 4 * (2 * (pdims[0] + pdims[-1] + pdims[0]) + 2 * sum(pdims))
+    budget = 12 * 1024 * 1024
+    while block_rows > 8 and fixed_bytes + per_row_bytes * block_rows > budget:
+        block_rows //= 2
     n_pad = _round_up(max(n, 1), block_rows)
     x2 = jnp.pad(x2, ((0, n_pad - n), (0, pdims[0] - d_in)))
     ws = [
