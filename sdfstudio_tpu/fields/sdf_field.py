@@ -306,6 +306,12 @@ class SDFFieldNet(nn.Module):
         scatter-add instances in the training backward pass (the dominant
         cost of the original train step; docs/tpu-design.md)."""
         feature, fjac = self._grid_feature(x, hash_mask, want_jac=True)
+        # named so the train step's remat policy can save them: recomputing
+        # the encode in the backward pass would redo the 12.6M-row gather
+        from jax.ad_checkpoint import checkpoint_name
+
+        feature = checkpoint_name(feature, "hash_feature")
+        fjac = checkpoint_name(fjac, "hash_jac")
         h, lin = jax.linearize(self._geo_mlp, x, feature)
         grads = []
         for a in range(3):
@@ -643,7 +649,12 @@ class SDFField:
             )
             return rgb, sdf, gradients, sampled_sdf
 
-        rgb, sdf, gradients, sampled_sdf = jax.checkpoint(core)(
+        rgb, sdf, gradients, sampled_sdf = jax.checkpoint(
+            core,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "hash_feature", "hash_jac"
+            ),
+        )(
             params, inputs, directions, camera_indices, delta_arg
         )
 

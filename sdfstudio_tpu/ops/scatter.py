@@ -21,6 +21,7 @@ reference hits the same primitive through tcnn's CUDA atomic scatter
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,11 +44,17 @@ def sorted_segment_add(idx: jnp.ndarray, upd: jnp.ndarray, num_rows: int) -> jnp
     keys = jnp.concatenate(
         [idx.astype(jnp.int32) * 2, jnp.arange(R, dtype=jnp.int32) * 2 + 1]
     )
-    order = jnp.argsort(keys)  # [M+R]
-    inv = jnp.argsort(order)  # inverse permutation (argsort of a permutation)
-
+    # co-sort the value columns with the keys (multi-operand lax.sort):
+    # a separate argsort + take would add an [M+R, F] permutation gather,
+    # which costs as much as the sort itself at hash-grid sizes.
+    iota = jnp.arange(M + R, dtype=jnp.int32)
     vals = jnp.concatenate([upd, jnp.zeros((R, F), dtype)], axis=0)
-    svals = jnp.take(vals, order, axis=0)
+    sorted_ops = jax.lax.sort(
+        (keys, iota, *(vals[:, f] for f in range(F))), num_keys=1
+    )
+    order = sorted_ops[1]
+    svals = jnp.stack(sorted_ops[2:], axis=-1)  # [M+R, F]
+    inv = jnp.argsort(order)  # inverse permutation (argsort of a permutation)
     csum = jnp.cumsum(svals, axis=0)  # [M+R, F]
 
     pos_q = inv[M:]  # [R] position of query r in the merge
