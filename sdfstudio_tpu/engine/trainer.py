@@ -283,6 +283,18 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        # proposal update schedule (reference ray_samplers.py:551,570 +
+        # torch optimizers skipping grad-None params): on non-update steps
+        # the proposal group's params stay frozen. Grads are already cut
+        # inside the sampler (lax.cond); zeroing the updates too prevents
+        # Adam's decayed momentum from moving frozen params.
+        tp = sched.get("train_proposal") if isinstance(sched, dict) else None
+        if tp is not None and "proposal_networks" in updates:
+            updates = dict(updates)
+            updates["proposal_networks"] = jax.tree_util.tree_map(
+                lambda u: jnp.where(tp, u, jnp.zeros_like(u)),
+                updates["proposal_networks"],
+            )
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             step=state.step + 1,

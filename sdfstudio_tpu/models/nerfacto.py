@@ -97,6 +97,17 @@ class NerfactoModel(Model):
             sched["proposal_anneal"] = (b * x) / ((b - 1) * x + 1)
         else:
             sched["proposal_anneal"] = jnp.asarray(1.0)
+        # proposal update cadence (see neus_facto.py schedules; reference
+        # nerfacto.py update_schedule + ray_samplers.py:551)
+        thr = jnp.clip(
+            step * cfg.proposal_update_every / max(cfg.proposal_warmup, 1),
+            1.0,
+            float(cfg.proposal_update_every),
+        )
+        period = jnp.floor(thr) + 1.0
+        sched["train_proposal"] = jnp.logical_or(
+            step < 10.0, jnp.mod(jnp.floor(step), period) < 0.5
+        )
         return sched
 
     def apply_collider(self, ray_bundle: RayBundle, train: bool = True) -> RayBundle:
@@ -124,7 +135,7 @@ class NerfactoModel(Model):
             num_proposal_network_iterations=cfg.num_proposal_iterations,
             single_jitter=cfg.use_single_jitter,
             anneal=sched["proposal_anneal"],
-            train_proposal=train,
+            train_proposal=sched["train_proposal"] if train else False,
         )
 
         field_outputs = self.field.get_outputs(params["field"], ray_samples, train=train)

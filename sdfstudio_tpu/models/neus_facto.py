@@ -106,6 +106,22 @@ class NeuSFactoModel(NeuSModel):
         else:
             sched["proposal_anneal"] = jnp.asarray(1.0)
 
+        # proposal update cadence as a pure function of step (reference
+        # keeps a steps_since_update counter + update_sched ramp,
+        # nerfacto.py update_schedule / ray_samplers.py:551): the threshold
+        # ramps 0 -> update_every over proposal_warmup; update when the
+        # step hits the ramped period. Non-update steps skip the proposal
+        # backward entirely (lax.cond in the sampler) and freeze the group.
+        thr = jnp.clip(
+            step * cfg.proposal_update_every / max(cfg.proposal_warmup, 1),
+            1.0,
+            float(cfg.proposal_update_every),
+        )
+        period = jnp.floor(thr) + 1.0
+        sched["train_proposal"] = jnp.logical_or(
+            step < 10.0, jnp.mod(jnp.floor(step), period) < 0.5
+        )
+
         if cfg.use_anneal_beta:
             # bakedsdf beta schedule adapted to neus (neus_facto.py:185-204)
             M = cfg.beta_anneal_max_num_iters
@@ -176,7 +192,7 @@ class NeuSFactoModel(NeuSModel):
             num_proposal_network_iterations=cfg.num_proposal_iterations,
             single_jitter=cfg.use_single_jitter,
             anneal=sched["proposal_anneal"],
-            train_proposal=train,
+            train_proposal=sched["train_proposal"] if train else False,
         )
 
         field_outputs = self.field.get_outputs(

@@ -71,9 +71,20 @@ def proposal_network_sampler(
                 include_original=False,
             )
         if is_prop:
-            density = density_fns[i_level](ray_samples.get_positions())  # [R, S]
             # gradient gate replacing the reference's no_grad toggle
-            density = jnp.where(updated, density, jax.lax.stop_gradient(density))
+            # (ray_samplers.py:551-570). lax.cond (not jnp.where) so the
+            # backward pass only runs through the taken branch: with
+            # jnp.where the proposal-table gradient scatters executed every
+            # step, while the reference pays them only on update steps
+            # (proposal_update_every=5).
+            fn = density_fns[i_level]
+            positions = ray_samples.get_positions()
+            density = jax.lax.cond(
+                updated,
+                lambda p: fn(p),
+                lambda p: jax.lax.stop_gradient(fn(p)),
+                positions,
+            )
             weights = weights_from_densities(ray_samples.deltas, density)
             weights_list.append(weights)
             ray_samples_list.append(ray_samples)
