@@ -237,15 +237,20 @@ method_configs["neus-facto"] = _surface_cfg(
     rays_per_batch=2048,
 )
 
-# --- neus-facto-tpu: TPU-optimized hash layout -----------------------------
-# Same method and table capacity as neus-facto but 8 levels x 4 features
-# (vs 16 x 2): the step is bound by random table-access COUNT on TPU
-# (~162M rows/s gather ceiling, docs/tpu-design.md), and L8F4 halves the
-# accesses for the same bytes. Measured on the 1500-step synthetic sphere
-# benchmark (v5e): 1.36x faster wall-clock, held-out SSIM equal (0.955),
-# held-out PSNR 25.4 vs 26.6 — the coarser level pyramid converges more
-# slowly, so validate at the full 20k-iteration scale before preferring
-# this over neus-facto for quality-critical runs.
+# --- neus-facto-tpu: TPU-native access-count-minimized neus-facto ----------
+# Same method as neus-facto, redesigned around the measured v5e primitive
+# rates (probe_prims.py): random table gathers run ~190-300M rows/s and the
+# sort-based gradient segment-add ~125M upd/s, while MXU matmuls are
+# effectively free — so the preset spends capacity in MLPs and minimizes
+# random-access count:
+#   * proposal fields are gather-free PE+MLPs (mip-NeRF-360's original
+#     proposal design; density_field.py field_type="mlp") — the hash
+#     proposal stage was ~35M table rows/step;
+#   * SDF hash grid: 8 levels x 2 features, max_res 512 (DTU-scale pixel
+#     footprint), 2^19 table — halves accesses vs L16 with capacity where
+#     the benchmark resolves it.
+# Quality parity vs neus-facto is tracked on the synthetic DTU-like scene
+# (PSNR + Chamfer at 20k iters; see BENCH notes / README).
 method_configs["neus-facto-tpu"] = _surface_cfg(
     "neus-facto-tpu",
     NeuSFactoModel,
@@ -260,13 +265,12 @@ method_configs["neus-facto-tpu"] = _surface_cfg(
             use_appearance_embedding=False,
             inside_outside=False,
             num_levels=8,
-            hash_features_per_level=4,
+            hash_features_per_level=2,
+            max_res=512,
         ),
         proposal_net_args_list=(
-            {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 3,
-             "features_per_level": 4, "max_res": 64},
-            {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 3,
-             "features_per_level": 4, "max_res": 256},
+            {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},
+            {"field_type": "mlp", "hidden_dim": 64, "max_res": 256},
         ),
         background_model="none",
         eval_num_rays_per_chunk=1024,

@@ -310,15 +310,25 @@ class SurfaceModel:
             )
 
         if "depth" in batch and cfg.mono_depth_loss_mult > 0.0:
-            # hard-coded x50+0.5 scaling per reference base_surface_model.py:435
-            depth_gt = batch["depth"][..., None]
-            depth_pred = outputs["depth"]
-            mask = jnp.ones_like(depth_gt).reshape(1, 32, -1)
+            # hard-coded x50+0.5 scaling per reference base_surface_model.py:435.
+            # The reference reshapes the ray batch to a (1, 32, -1) pseudo-image
+            # (the scale/shift solve sums over axes (1, 2), so it is per-batch
+            # either way); rays are padded with mask=0 entries so any batch
+            # size works — padded entries contribute nothing to the solve or
+            # the gradient-matching term.
+            depth_gt = (batch["depth"].reshape(-1) * 50 + 0.5)
+            depth_pred = outputs["depth"].reshape(-1)
+            n = depth_pred.shape[0]
+            rows = 32 if n >= 32 else n
+            pad = (-n) % rows
+            mask = jnp.pad(jnp.ones((n,), depth_pred.dtype), (0, pad))
+            depth_gt = jnp.pad(depth_gt, (0, pad))
+            depth_pred = jnp.pad(depth_pred, (0, pad))
             loss_dict["depth_loss"] = (
                 L.scale_and_shift_invariant_loss(
-                    depth_pred.reshape(1, 32, -1),
-                    (depth_gt * 50 + 0.5).reshape(1, 32, -1),
-                    mask,
+                    depth_pred.reshape(1, rows, -1),
+                    depth_gt.reshape(1, rows, -1),
+                    mask.reshape(1, rows, -1),
                     alpha=0.5,
                     scales=1,
                 )
