@@ -652,7 +652,7 @@ class SDFField:
         rgb, sdf, gradients, sampled_sdf = jax.checkpoint(
             core,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "hash_feature", "hash_jac"
+                "hash_feature", "hash_jac", "hash_corner_feats"
             ),
         )(
             params, inputs, directions, camera_indices, delta_arg

@@ -87,6 +87,7 @@ def shrink(config):
     return config
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", sorted(method_configs.keys()))
 def test_method_smoke_train(method, sphere_data, tmp_path):
     if method in BLACKLIST:

@@ -91,6 +91,7 @@ def test_dataparser_reads_fixture(sphere_data):
     assert float(np.dot(d, n)) < -0.8
 
 
+@pytest.mark.slow
 def test_train_loop_loss_falls_and_checkpoints(sphere_data, tmp_path):
     trainer = build_trainer(sphere_data, tmp_path / "run", max_iters=60)
     trainer.setup()
@@ -125,6 +126,7 @@ def test_train_full_loop_runs(sphere_data, tmp_path):
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_flexible_datamanager_geo_neus(tmp_path):
     """geo-neus: single-ref-image batches + patch warping through the
     flexible pipeline."""
