@@ -18,6 +18,11 @@ from sdfstudio_tpu.data.datamanager import DataManagerConfig
 from sdfstudio_tpu.data.dataparsers.base import DataParserConfig
 from sdfstudio_tpu.engine.optimizers import OptimizerGroupConfig
 from sdfstudio_tpu.engine.trainer import TrainerConfig
+from sdfstudio_tpu.parallel.multihost import MachineConfig
+
+
+def _machine_config() -> MachineConfig:
+    return MachineConfig()
 
 
 @dataclass
@@ -28,7 +33,8 @@ class Config:
     experiment_name: str = "experiment"
     timestamp: str = "{timestamp}"
     output_dir: Path = Path("outputs")
-    vis: str = "tensorboard"  # tensorboard | none
+    vis: str = "tensorboard"  # tensorboard | wandb | viewer | none
+    machine: "MachineConfig" = field(default_factory=lambda: _machine_config())
     data: Optional[Path] = None
     trainer: TrainerConfig = field(default_factory=TrainerConfig)
     datamanager: DataManagerConfig = field(default_factory=DataManagerConfig)

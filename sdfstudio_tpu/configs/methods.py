@@ -557,6 +557,10 @@ def _register_instant_ngp():
             steps_per_eval_image=5000,
             steps_per_save=20000,
             max_num_iterations=20001,
+            # reference instant-ngp runs DynamicBatchPipeline with a 1<<18
+            # sample budget (method_configs.py:1026-1046, dynamic_batch.py:34)
+            dynamic_batch=True,
+            target_num_samples=1 << 18,
         ),
         datamanager=DataManagerConfig(train_num_rays_per_batch=8192),
         model=InstantNGPModelConfig(render_step_size=0.005, eval_num_rays_per_chunk=8192),

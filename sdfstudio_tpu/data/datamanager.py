@@ -111,6 +111,18 @@ class VanillaDataManager:
         self.camera_optimizer = CameraOptimizer(
             num_cameras=self.num_train_images, config=config.camera_optimizer
         )
+        self.mesh = None  # set by Trainer via commit() for multi-process runs
+
+    def commit(self, mesh) -> None:
+        """Pin dataset tensors to ``mesh`` fully replicated. Required for
+        multi-process meshes (plain ``jnp.asarray`` arrays are process-local
+        and cannot feed a global-mesh jit); a cheap no-op placement refresh
+        single-process. Every DDP rank holds the full image stack, like the
+        reference's per-rank CacheDataloader (dataloaders.py:94)."""
+        from sdfstudio_tpu.parallel import mesh as mesh_lib
+
+        self.mesh = mesh
+        self.train_data = mesh_lib.put_replicated(self.train_data, mesh)
 
     @staticmethod
     def _stack(outputs: DataparserOutputs) -> Dict[str, jnp.ndarray]:
@@ -164,6 +176,12 @@ class VanillaDataManager:
         if step - last >= repeat:
             self._last_resample_step = step
             self.train_data = self._make_subset()
+            if self.mesh is not None:
+                from sdfstudio_tpu.parallel import mesh as mesh_lib
+
+                # same rng seed on every process -> same subset ids, so the
+                # replicated placement is consistent across hosts
+                self.train_data = mesh_lib.put_replicated(self.train_data, self.mesh)
 
     # ------------------------------------------------------------------
     def init_camera_opt(self, rng: jax.Array):

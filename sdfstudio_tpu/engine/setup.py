@@ -68,6 +68,8 @@ def setup_trainer(config: Config, test_mode: bool = False) -> Trainer:
     writer = Writer(
         base_dir,
         use_tensorboard=(config.vis == "tensorboard") and not test_mode,
+        use_wandb=(config.vis == "wandb") and not test_mode,
+        experiment_name=f"{config.experiment_name}/{config.method_name}",
         banner=f"[sdfstudio-tpu] method={config.method_name} out={base_dir}",
     )
     return Trainer(

@@ -51,6 +51,20 @@ class TrainerConfig:
     eval-image renders — loading ANY second executable permanently degrades
     every subsequent train step to ~5.8s on this deployment — and instead
     checkpoint + eval once at the end of the run/segment."""
+    dynamic_batch: bool = False
+    """Adapt rays/batch to a sample budget (reference
+    pipelines/dynamic_batch.py:62-87). TPU redesign: the reference changes
+    the ray count continuously, which would retrace the XLA program every
+    step; here the ray count moves across POWER-OF-TWO buckets, each bucket
+    a separately-compiled program (compiled lazily, cached). The measured
+    samples-per-batch comes from the packed metrics vector the loop already
+    buffers; on relay deployments (defer_heavy_ops) mid-run fetches poison
+    the program cache, so the bucket is chosen once per segment from the
+    previous segment's stats (dynamic_batch.txt in the checkpoint dir)."""
+    target_num_samples: int = 1 << 18
+    """Sample budget per batch (reference dynamic_batch.py:34)."""
+    dynamic_update_every: int = 50
+    """Steps between bucket re-evaluations (non-relay deployments)."""
     steps_per_call: int = 0
     """Train steps fused into ONE jitted program via lax.scan. Remote-TPU
     deployments pay a per-dispatch round trip (measured >1s through the axon
@@ -123,17 +137,27 @@ class Trainer:
         )
         # place the initial state with the mesh's replicated sharding so the
         # FIRST train-step compile already sees the steady-state shardings
-        # (otherwise the second step recompiles — minutes on TPU)
-        replicated = mesh_lib.replicated(self.mesh)
+        # (otherwise the second step recompiles — minutes on TPU).
+        # put_replicated also handles multi-process meshes, where plain
+        # device_put cannot target non-addressable devices (parallel/multihost.py)
         self.state = TrainState(
-            step=jax.device_put(jnp.asarray(0, jnp.int32), replicated),
-            params=jax.device_put(params, replicated),
-            opt_state=jax.device_put(opt_state, replicated),
+            step=mesh_lib.put_replicated(jnp.asarray(0, jnp.int32), self.mesh),
+            params=mesh_lib.put_replicated(params, self.mesh),
+            opt_state=mesh_lib.put_replicated(opt_state, self.mesh),
             model_state=(
-                jax.device_put(model_state, replicated) if model_state is not None else None
+                mesh_lib.put_replicated(model_state, self.mesh)
+                if model_state is not None
+                else None
             ),
-            rng=jax.device_put(jax.random.fold_in(rng, 977), replicated),
+            rng=mesh_lib.put_replicated(jax.random.fold_in(rng, 977), self.mesh),
         )
+        # dataset tensors + cameras feed the global-mesh jit as arguments;
+        # multi-process they must be global (replicated) arrays
+        if jax.process_count() > 1:
+            self.datamanager.commit(self.mesh)
+            self.datamanager.train_cameras = mesh_lib.put_replicated(
+                self.datamanager.train_cameras, self.mesh
+            )
         self._host_step = 0
         if self.config.load_dir is not None:
             self._load_checkpoint(Path(self.config.load_dir), self.config.load_step)
@@ -146,7 +170,68 @@ class Trainer:
             self._multi_step_impl, static_argnums=(3,), donate_argnums=(0,)
         )
         self._render_chunk = jax.jit(self._render_chunk_impl)
+        # dynamic batch: per-bucket compiled steps (see TrainerConfig)
+        self._bucket_steps: Dict[int, Any] = {}
+        self._dyn_num_rays: Optional[int] = None
+        if self.config.dynamic_batch:
+            self._dyn_num_rays = self._initial_bucket()
         return self.state
+
+    # -- dynamic batch (reference pipelines/dynamic_batch.py) ----------
+    def _initial_bucket(self) -> int:
+        saved = self.ckpt_dir / "dynamic_batch.txt"
+        if saved.exists():
+            return int(saved.read_text().strip())
+        max_per_ray = int(
+            getattr(self.model.config, "max_num_samples_per_ray", 256)
+        )
+        return self._to_bucket(self.config.target_num_samples // max(max_per_ray, 1))
+
+    @staticmethod
+    def _to_bucket(n: float) -> int:
+        import math
+
+        return int(min(max(2 ** round(math.log2(max(n, 1.0))), 256), 131072))
+
+    def _bucket_step_fns(self, num_rays: int):
+        """Jitted (single, multi) step programs for one ray-count bucket."""
+        if num_rays not in self._bucket_steps:
+            single = jax.jit(
+                functools.partial(self._train_step_impl, num_rays=num_rays),
+                donate_argnums=(0,),
+            )
+
+            def multi(state, train_data, cameras, num_steps):
+                def body(s, _):
+                    return self._train_step_impl(
+                        s, train_data, cameras, num_rays=num_rays
+                    )
+
+                return jax.lax.scan(body, state, None, length=num_steps)
+
+            self._bucket_steps[num_rays] = (
+                single,
+                jax.jit(multi, static_argnums=(3,), donate_argnums=(0,)),
+            )
+        return self._bucket_steps[num_rays]
+
+    def _update_dynamic_batch(self, samples_per_batch: float) -> None:
+        """Move to the bucket whose ray count meets the sample budget
+        (reference dynamic_batch.py:72-76, quantized to powers of two)."""
+        if not samples_per_batch or self._dyn_num_rays is None:
+            return
+        want = self._dyn_num_rays * (
+            self.config.target_num_samples / max(samples_per_batch, 1.0)
+        )
+        new = self._to_bucket(want)
+        if new != self._dyn_num_rays:
+            print(
+                f"[dynamic-batch] rays/batch {self._dyn_num_rays} -> {new} "
+                f"(measured {samples_per_batch:,.0f} samples vs target "
+                f"{self.config.target_num_samples:,})",
+                flush=True,
+            )
+            self._dyn_num_rays = new
 
     @profiler.time_function
     def _train_step(self, state: TrainState, rng: Optional[jax.Array] = None):
@@ -161,7 +246,12 @@ class Trainer:
             state = state.replace(rng=rng)
         elif state.rng is None:
             state = state.replace(rng=jax.random.PRNGKey(0))
-        return self._jit_train_step(
+        fn = (
+            self._bucket_step_fns(self._dyn_num_rays)[0]
+            if self._dyn_num_rays is not None
+            else self._jit_train_step
+        )
+        return fn(
             state, self.datamanager.train_data, self.datamanager.train_cameras
         )
 
@@ -172,7 +262,12 @@ class Trainer:
         relay round trip (see TrainerConfig.steps_per_call)."""
         if state.rng is None:
             state = state.replace(rng=jax.random.PRNGKey(0))
-        return self._jit_multi_step(
+        fn = (
+            self._bucket_step_fns(self._dyn_num_rays)[1]
+            if self._dyn_num_rays is not None
+            else self._jit_multi_step
+        )
+        return fn(
             state,
             self.datamanager.train_data,
             self.datamanager.train_cameras,
@@ -186,7 +281,7 @@ class Trainer:
         return jax.lax.scan(body, state, None, length=num_steps)
 
     # ------------------------------------------------------------------
-    def _train_step_impl(self, state: TrainState, train_data, cameras):
+    def _train_step_impl(self, state: TrainState, train_data, cameras, num_rays: Optional[int] = None):
         model, dm = self.model, self.datamanager
         step_f = state.step.astype(jnp.float32)
         sched = model.schedules(step_f)
@@ -215,7 +310,7 @@ class Trainer:
         else:
             ray_indices, batch = dm.sample_train_batch(
                 rng_sample, data=train_data,
-                num_rays=dm.config.train_num_rays_per_batch * accum,
+                num_rays=(num_rays or dm.config.train_num_rays_per_batch) * accum,
             )
         # shard the ray batch across the mesh's data axis
         ray_indices = mesh_lib.shard_leading_axis(ray_indices, self.mesh)
@@ -245,7 +340,7 @@ class Trainer:
 
         if accum > 1 and additional is None:
             # accumulate grads over sub-batches with a scan (constant memory)
-            R = dm.config.train_num_rays_per_batch
+            R = num_rays or dm.config.train_num_rays_per_batch
             idx_chunks = ray_indices.reshape(accum, R, 3)
             batch_chunks = jax.tree_util.tree_map(
                 lambda x: x.reshape(accum, R, *x.shape[1:]), batch
@@ -304,6 +399,10 @@ class Trainer:
             rng=next_rng,
         )
         out = {"loss": loss, **loss_dict, **metrics}
+        if num_rays is not None:
+            # dynamic batch: surface the active bucket (reference
+            # dynamic_batch.py:92 adds num_rays_per_batch the same way)
+            out["num_rays_per_batch"] = jnp.asarray(float(num_rays))
         # pack metrics into ONE vector: each device->host transfer costs
         # ~2s through the axon relay, so a dict of scalars is ~2s x len
         # per fetch; a single [K] array is one transfer
@@ -488,6 +587,16 @@ class Trainer:
                 window_t0 = time.perf_counter()
                 window_steps = 0
                 history.append((step - 1, last_vec))
+                if (
+                    self._dyn_num_rays is not None
+                    and not cfg.defer_heavy_ops
+                    and crossed(cfg.dynamic_update_every, lo, step)
+                ):
+                    # safe here: non-relay deployments tolerate the fetch,
+                    # and the loop just synced anyway
+                    m = self.unpack_metrics(last_vec)
+                    self._update_dynamic_batch(m.get("num_samples_per_batch", 0.0))
+                num_rays = self._dyn_num_rays or self.datamanager.config.train_num_rays_per_batch
                 self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step - 1)
                 self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step - 1)
                 print(
@@ -513,7 +622,13 @@ class Trainer:
         self._host_step = max_iters
         # training is done; from here on device<->host traffic is fine
         # (segment end / end of run — the hot loop no longer needs the cache)
-        self.flush_metric_history(history, max_iters)
+        last_metrics = self.flush_metric_history(history, max_iters)
+        if self._dyn_num_rays is not None and cfg.defer_heavy_ops:
+            # relay deployments adapt the bucket at segment boundaries only
+            self._update_dynamic_batch(last_metrics.get("num_samples_per_batch", 0.0))
+            if mesh_lib.is_main_process():
+                self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+                (self.ckpt_dir / "dynamic_batch.txt").write_text(str(self._dyn_num_rays))
         if cfg.defer_heavy_ops:
             t0 = time.perf_counter()
             self.save_checkpoint(max_iters)
@@ -576,8 +691,7 @@ class Trainer:
         restored = load_packed(path, template)
         # same replicated placement as setup(): a sharding mismatch vs the
         # first compile silently retraces the train step (minutes on TPU)
-        replicated = mesh_lib.replicated(self.mesh)
-        self.state = jax.device_put(
+        self.state = mesh_lib.put_replicated(
             TrainState(
                 step=jnp.asarray(load_step, jnp.int32),
                 params=restored["params"],
@@ -585,7 +699,7 @@ class Trainer:
                 model_state=restored["model_state"],
                 rng=restored["rng"],
             ),
-            replicated,
+            self.mesh,
         )
         self._host_step = load_step
         print(f"loaded checkpoint from {path} at step {load_step}", flush=True)

@@ -46,6 +46,31 @@ def shard_leading_axis(tree, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.tree_util.tree_map(constrain, tree)
 
 
+def put_replicated(tree, mesh: Mesh):
+    """Place every leaf fully replicated over ``mesh``, including meshes
+    that span multiple processes.
+
+    Single-process this is ``jax.device_put``; multi-process,
+    ``jax.device_put`` cannot target non-addressable devices, so each
+    process materializes its addressable shards via
+    ``jax.make_array_from_callback`` (every host is assumed to hold the
+    same value — true for params/opt state initialized from the same seed
+    and for dataset tensors loaded from shared storage, matching the
+    reference's assumption that all DDP ranks read the same data)."""
+    sharding = NamedSharding(mesh, P())
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        if not hasattr(x, "ndim"):  # python scalars etc: leave untouched
+            return x
+        if not multiproc:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def is_main_process() -> bool:
     """Rank-0 gate (reference utils/comms.py is_main_process)."""
     return jax.process_index() == 0

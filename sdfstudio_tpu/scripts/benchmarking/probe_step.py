@@ -33,6 +33,21 @@ def main() -> None:
                     help="start from this step (schedules are step-dependent)")
     ap.add_argument("--data", type=Path, default=None,
                     help="dataset dir (default: generated synthetic sphere)")
+    # ablation overrides (cost bisection)
+    ap.add_argument("--no-grid", action="store_true",
+                    help="use_grid_feature=False on the SDF field")
+    ap.add_argument("--neus-samples", type=int, default=None)
+    ap.add_argument("--prop-samples", type=str, default=None,
+                    help="comma list, e.g. 128,48")
+    ap.add_argument("--num-levels", type=int, default=None)
+    ap.add_argument("--hidden-dim", type=int, default=None,
+                    help="SDF geo/color MLP width")
+    ap.add_argument("--log2-hashmap", type=int, default=None,
+                    help="SDF hash table log2 size")
+    ap.add_argument("--analyze", action="store_true",
+                    help="compile-only: print XLA cost analysis (flops, bytes "
+                         "accessed) of the 1-step program and dump optimized "
+                         "HLO to /tmp/step_hlo.txt instead of timing")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +72,27 @@ def main() -> None:
     config.datamanager = dataclasses.replace(
         config.datamanager, train_num_rays_per_batch=args.num_rays
     )
+    field_over = {}
+    if args.no_grid:
+        field_over["use_grid_feature"] = False
+    if args.num_levels is not None:
+        field_over["num_levels"] = args.num_levels
+    if args.hidden_dim is not None:
+        field_over["hidden_dim"] = args.hidden_dim
+        field_over["hidden_dim_color"] = args.hidden_dim
+    if args.log2_hashmap is not None:
+        field_over["log2_hashmap_size"] = args.log2_hashmap
+    model_over = {}
+    if field_over and hasattr(config.model, "sdf_field"):
+        model_over["sdf_field"] = dataclasses.replace(config.model.sdf_field, **field_over)
+    if args.neus_samples is not None:
+        model_over["num_neus_samples_per_ray"] = args.neus_samples
+    if args.prop_samples is not None:
+        model_over["num_proposal_samples_per_ray"] = tuple(
+            int(s) for s in args.prop_samples.split(",")
+        )
+    if model_over:
+        config.model = dataclasses.replace(config.model, **model_over)
     config.output_dir = Path(tempfile.gettempdir()) / "sst_probe_out"
     config.timestamp = "probe"
     config.vis = "none"
@@ -66,6 +102,37 @@ def main() -> None:
         trainer.state = trainer.state.replace(
             step=jnp.asarray(args.step0, trainer.state.step.dtype)
         )
+
+    if args.analyze:
+        lowered = jax.jit(trainer._train_step_impl).lower(
+            trainer.state,
+            trainer.datamanager.train_data,
+            trainer.datamanager.train_cameras,
+        )
+        compiled = lowered.compile()
+        Path("/tmp/step_hlo.txt").write_text(compiled.as_text())
+        try:
+            cost = compiled.cost_analysis()
+            cost = cost[0] if isinstance(cost, list) else cost
+            flops = cost.get("flops", 0.0)
+            bytes_acc = cost.get("bytes accessed", 0.0)
+            print(f"ANALYZE flops={flops:.3e} bytes_accessed={bytes_acc:.3e}")
+            for k in sorted(cost):
+                if k.startswith("bytes accessed") and cost[k] > 1e8:
+                    print(f"  {k}: {cost[k]:.3e}")
+        except Exception as e:  # cost analysis support varies by backend
+            print(f"ANALYZE cost_analysis unavailable: {e}")
+        try:
+            mem = compiled.memory_analysis()
+            print(
+                f"ANALYZE temp_bytes={mem.temp_size_in_bytes:.3e} "
+                f"argument_bytes={mem.argument_size_in_bytes:.3e} "
+                f"output_bytes={mem.output_size_in_bytes:.3e}"
+            )
+        except Exception as e:
+            print(f"ANALYZE memory_analysis unavailable: {e}")
+        print("ANALYZE hlo written to /tmp/step_hlo.txt")
+        return
 
     K = args.steps_per_call
     t0 = time.perf_counter()

@@ -116,11 +116,9 @@ def _apply_override(config: Config, key: str, value: str) -> Config:
         ("model.", "model"),
         ("datamanager.", "datamanager"),
         ("trainer.", "trainer"),
-        ("machine.", None),  # accepted and ignored: single-process mesh
+        ("machine.", "machine"),  # multi-host mesh (parallel/multihost.py)
     ):
         if norm.startswith(prefix.replace("-", "_")):
-            if attr is None:
-                return config
             rest = norm[len(prefix):]
             setattr(config, attr, override_nested(getattr(config, attr), rest, value))
             return config
@@ -166,10 +164,18 @@ def parse_args(argv) -> Config:
 
 def main(config: Config):
     config.set_timestamp()
+    from sdfstudio_tpu.parallel.multihost import maybe_initialize
+
+    # join the multi-host job BEFORE the first backend use (the mesh in
+    # Trainer then spans all processes' devices; reference train.py:93-116)
+    maybe_initialize(config.machine)
     from sdfstudio_tpu.engine.setup import setup_trainer
 
     trainer = setup_trainer(config)
-    config.save_config()
+    import jax as _jax
+
+    if _jax.process_index() == 0:
+        config.save_config()
     import jax
 
     trainer.setup(jax.random.PRNGKey(config.seed))

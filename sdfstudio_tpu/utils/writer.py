@@ -30,17 +30,39 @@ class Writer:
         use_tensorboard: bool = False,
         max_buffer_size: int = 20,
         banner: str = "",
+        use_wandb: bool = False,
+        wandb_project: str = "sdfstudio-tpu",
+        experiment_name: str = "",
     ):
         self.log_dir = Path(log_dir) if log_dir else None
         self.buffers = defaultdict(lambda: deque(maxlen=max_buffer_size))
         self.tb = None
-        if use_tensorboard and self.log_dir is not None:
+        self.wandb = None
+        # non-main processes keep running averages (for ETA prints) but
+        # emit no backend events (reference writer is rank-0 only via
+        # comms.is_main_process gating in train.py:180-186)
+        self._emit = _is_main_process()
+        if use_tensorboard and self.log_dir is not None and self._emit:
             try:
                 from tensorboardX import SummaryWriter
 
                 self.tb = SummaryWriter(str(self.log_dir))
             except Exception:
                 self.tb = None
+        if use_wandb and self._emit:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(
+                    project=wandb_project,
+                    name=experiment_name or None,
+                    dir=str(self.log_dir) if self.log_dir else None,
+                )
+            except Exception:
+                # wandb isn't installed in hermetic environments; the
+                # reference hard-depends on it (utils/writer.py:191)
+                self.wandb = None
         self.start_time = time.time()
         if banner:
             print(banner)
@@ -49,6 +71,8 @@ class Writer:
         self.buffers[name].append(float(value))
         if self.tb is not None:
             self.tb.add_scalar(name, float(value), step)
+        if self.wandb is not None:
+            self.wandb.log({name: float(value)}, step=step)
 
     def put_dict(self, values: Dict[str, float], step: int, prefix: str = ""):
         for k, v in values.items():
@@ -59,8 +83,14 @@ class Writer:
 
     def put_image(self, name: str, image: np.ndarray, step: int):
         """image: [H, W, 3] float in [0,1]."""
+        if not self._emit:
+            return
         if self.tb is not None:
             self.tb.add_image(name, np.clip(image, 0, 1), step, dataformats="HWC")
+        if self.wandb is not None:
+            self.wandb.log(
+                {name: self.wandb.Image(np.clip(image, 0, 1))}, step=step
+            )
         if self.log_dir is not None:
             try:
                 import imageio.v2 as imageio
@@ -96,3 +126,14 @@ class Writer:
     def close(self):
         if self.tb is not None:
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
+
+
+def _is_main_process() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
