@@ -2,8 +2,8 @@
 
 Functional spec: reference scripts/exporter.py:32-325 (ExportPointCloud,
 ExportTSDFMesh, ExportPoissonMesh, ExportMarchingCubesMesh). Poisson
-reconstruction requires open3d (unavailable here); the subcommand exists
-and reports that clearly.
+reconstruction is in-tree (utils/poisson.py — FFT + screened solve) instead
+of delegating to open3d.
 """
 from __future__ import annotations
 
@@ -54,12 +54,29 @@ def export_marching_cubes(args):
 
 
 def export_poisson(args):
-    print(
-        "Poisson reconstruction requires open3d, which is not available in this "
-        "environment; use `pointcloud` (with normals) + external Poisson, or `tsdf`.",
-        file=sys.stderr,
+    """Poisson mesh from the trained field (reference exporter.py:238-266
+    ExportPoissonMesh; open3d replaced by the in-tree FFT/screened solver,
+    utils/poisson.py)."""
+    from sdfstudio_tpu.engine.setup import eval_setup
+    from sdfstudio_tpu.utils.exporter_utils import generate_point_cloud
+    from sdfstudio_tpu.utils.poisson import poisson_mesh
+
+    _, trainer = eval_setup(args.load_config)
+    cloud = generate_point_cloud(
+        trainer, num_points=args.num_points, remove_outliers=not args.keep_outliers
     )
-    sys.exit(2)
+    if cloud.normals is None:
+        print("poisson export needs normals in the render outputs", file=sys.stderr)
+        sys.exit(2)
+    mesh = poisson_mesh(
+        cloud.vertices,
+        cloud.normals,
+        resolution=args.resolution,
+        bounds=(args.bounding_box_min, args.bounding_box_max),
+    )
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    mesh.export(args.output_dir / "poisson_mesh.ply")
+    print(f"wrote poisson_mesh.ply: {len(mesh.vertices)} vertices")
 
 
 def entrypoint():
