@@ -704,9 +704,11 @@ method_configs["dto"] = _surface_cfg(
     DtoOModel,
     DtoOModelConfig(eval_num_rays_per_chunk=1 << 10),
     {
-        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
-        "field": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
-        "occupancy_field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 300000)),
+        # reference groups (method_configs.py:883-895): "occupancy_field"
+        # (the SDF, lr 5e-4 + NeuS warmup-cosine) is our "field";
+        # "fields" (the shared nerfacto bg, lr 1e-2) is "field_background"
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 300000)),
+        "field_background": OptimizerGroupConfig(_adam(1e-2), _multistep(300000)),
     },
     dict(max_num_iterations=100000, steps_per_eval_image=2000, steps_per_save=5000),
     rays_per_batch=2048,
@@ -756,7 +758,7 @@ method_configs["phototourism"] = Config(
 
 descriptions.update({
     "neusW": "Neural reconstruction in the wild (heritage).",
-    "dto": "Occupancy field distilled from density-guided sampling.",
+    "dto": "Occupancy-grid-guided NeuS with density-field background.",
     "semantic-nerfw": "Semantic segmentation + transient filtering.",
     "phototourism": "Nerfacto on phototourism captures.",
     "dnerf": "Dynamic NeRF with temporal deformation.",

@@ -44,11 +44,12 @@ def analytic_sdf_gradient(
 ) -> jnp.ndarray:
     """d sdf / d x for a per-point-independent sdf_fn ([N,3] -> [N]).
 
-    mode="reverse": one backward pass via grad-of-sum.
+    mode="reverse"/"vjp": one backward pass via grad-of-sum (per-point sdf
+    makes the sum-grad exact per point).
     mode="jvp": three forward-mode passes with basis tangents (XLA CSEs the
     shared primal); same values, different (TPU-compiler-friendly) program.
     """
-    if mode == "reverse":
+    if mode in ("reverse", "vjp"):
         return jax.grad(lambda p: jnp.sum(sdf_fn(p)))(x)
     gs = []
     for i in range(3):
@@ -92,7 +93,7 @@ class SDFFieldConfig:
     hash_features_per_level: int = 2
     hash_smoothstep: bool = True
     use_position_encoding: bool = True
-    analytic_gradient_mode: str = "jvp"  # jvp | reverse
+    analytic_gradient_mode: str = "vjp"  # vjp | jvp | reverse
     """How analytic SDF input-gradients are computed. "jvp" takes 3
     forward-mode passes (mathematically identical to reverse); it avoids a
     reverse-to-input pattern through the hash encoding that crashes the TPU
@@ -177,6 +178,9 @@ class SDFFieldNet(nn.Module):
                     kernel_init=kinit,
                     bias_init=binit,
                     use_weight_norm=cfg.weight_norm,
+                    # sdf head stays f32: NeuS alphas difference adjacent
+                    # sdf samples (bf16 cancellation there is visible)
+                    out_f32=(l == n_glayers - 1),
                     name=f"glin{l}",
                 )
             )
@@ -209,6 +213,7 @@ class SDFFieldNet(nn.Module):
                     kernel_init=kaiming_uniform_init,
                     bias_init=nn.initializers.zeros,
                     use_weight_norm=cfg.weight_norm,
+                    out_f32=(l == len(cdims) - 2),
                     name=f"clin{l}",
                 )
             )
@@ -296,15 +301,30 @@ class SDFFieldNet(nn.Module):
         return self._geo_mlp(x, feature)
 
     def geonetwork_with_gradient(
-        self, x: jnp.ndarray, hash_mask: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        hash_mask: Optional[jnp.ndarray] = None,
+        mode: str = "vjp",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(geonetwork output, d sdf / dx) from ONE table gather.
 
         The encode jacobian is analytic; only the (cheap, MXU-friendly)
-        MLP is linearized. Replaces 3 jax.jvp passes through the full
-        geonetwork, whose table gathers compiled to four independent
-        scatter-add instances in the training backward pass (the dominant
-        cost of the original train step; docs/tpu-design.md)."""
+        MLP is differentiated. Two modes:
+
+        - ``"vjp"`` (default): ONE reverse pass through the MLP with the
+          sdf-row cotangent, chained onto the analytic encode jacobian
+          (d sdf/dx = d sdf/dx_direct + enc_jacᵀ · d sdf/d feature). The
+          sdf output is scalar per point, so reverse mode needs a single
+          cotangent sweep where forward mode needs 3 tangent sweeps — the
+          step's HLO showed the 3-tangent path quadrupling per-layer
+          activation traffic ([N,hidden,3] tangent convolution fusions).
+        - ``"jvp"``: the 3-tangent `jax.linearize` path (kept for A/B and
+          as fallback if the reverse-over-reverse eikonal compile ever
+          regresses on a new toolchain).
+
+        Both replace naive autodiff through the table gather, whose
+        training backward compiled to four independent scatter-add
+        instances (docs/tpu-design.md)."""
         feature, fjac = self._grid_feature(x, hash_mask, want_jac=True)
         # named so the train step's remat policy can save them: recomputing
         # the encode in the backward pass would redo the 12.6M-row gather
@@ -312,6 +332,14 @@ class SDFFieldNet(nn.Module):
 
         feature = checkpoint_name(feature, "hash_feature")
         fjac = checkpoint_name(fjac, "hash_jac")
+        if mode == "vjp":
+            h, vjp_fn = jax.vjp(self._geo_mlp, x, feature)
+            ct = jnp.zeros_like(h).at[..., 0].set(1.0)
+            dx, dfeat = vjp_fn(ct)
+            grad = dx.astype(x.dtype) + jnp.einsum(
+                "...f,...fa->...a", dfeat.astype(fjac.dtype), fjac
+            )
+            return h, grad
         h, lin = jax.linearize(self._geo_mlp, x, feature)
         grads = []
         for a in range(3):
@@ -547,11 +575,12 @@ class SDFField:
                 return grads, jnp.moveaxis(sdf6, 0, -1)  # [N, 6]
             return grads
 
-        if self.config.analytic_gradient_mode == "jvp":
+        if self.config.analytic_gradient_mode in ("jvp", "vjp"):
             _, grads = self.module.apply(
                 {"params": params},
                 x,
                 hash_mask,
+                self.config.analytic_gradient_mode,
                 method=SDFFieldNet.geonetwork_with_gradient,
             )
         else:
@@ -618,12 +647,13 @@ class SDFField:
                     skip_spatial_distortion=True,
                     return_sampled_sdf=True,
                 )
-            elif self.config.analytic_gradient_mode == "jvp":
+            elif self.config.analytic_gradient_mode in ("jvp", "vjp"):
                 # one gather: primal + analytic-jacobian gradient together
                 h, gradients = self.module.apply(
                     {"params": params},
                     inputs,
                     hash_mask,
+                    self.config.analytic_gradient_mode,
                     method=SDFFieldNet.geonetwork_with_gradient,
                 )
             else:

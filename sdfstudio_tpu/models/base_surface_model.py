@@ -168,6 +168,7 @@ class SurfaceModel:
         rng: Optional[jax.Array] = None,
         sched: Optional[Dict] = None,
         train: bool = True,
+        model_state=None,
     ) -> Dict:
         """Full model forward (reference base_surface_model.py:292-365)."""
         sched = sched or self.schedules(jnp.asarray(1_000_000))
@@ -176,7 +177,12 @@ class SurfaceModel:
             rng, bg_rng = jax.random.split(rng)
         else:
             bg_rng = None
-        s = self.sample_and_forward_field(params, ray_bundle, rng, sched, train)
+        if getattr(self, "has_model_state", False):
+            s = self.sample_and_forward_field(
+                params, ray_bundle, rng, sched, train, model_state=model_state
+            )
+        else:
+            s = self.sample_and_forward_field(params, ray_bundle, rng, sched, train)
 
         field_outputs = s["field_outputs"]
         ray_samples: RaySamples = s["ray_samples"]
@@ -224,6 +230,10 @@ class SurfaceModel:
             outputs["eik_grad"] = field_outputs["gradient"]
             outputs["points_norm"] = field_outputs["points_norm"]
             outputs.update(s)
+        elif "num_samples_per_ray" in s:
+            # grid-based models report occupancy stats at eval too (dynamic
+            # batch sizing reads this)
+            outputs["num_samples_per_ray"] = s["num_samples_per_ray"]
 
         if "weights_list" in s:
             for i in range(len(s["weights_list"]) - 1):
@@ -242,10 +252,13 @@ class SurfaceModel:
         rng: Optional[jax.Array] = None,
         sched: Optional[Dict] = None,
         train: bool = True,
+        model_state=None,
     ) -> Dict:
         """get_outputs + Geo-NeuS patch warping from source views
         (reference base_surface_model.py:367-397)."""
-        outputs = self.get_outputs(params, ray_bundle, rng=rng, sched=sched, train=train)
+        outputs = self.get_outputs(
+            params, ray_bundle, rng=rng, sched=sched, train=train, model_state=model_state
+        )
         if self.config.patch_warp_loss_mult > 0 and "field_outputs" in outputs:
             from sdfstudio_tpu.components.patch_warping import patch_warping
 

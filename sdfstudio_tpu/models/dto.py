@@ -1,87 +1,213 @@
-"""DtoO: density-to-occupancy distillation model.
+"""DtoO: occupancy-grid-guided NeuS with a shared background model.
 
-Functional spec: reference nerfstudio/models/dto.py:40-577 — a nerfacto
-(density) backbone trained for view synthesis, with a separate SDF/occupancy
-field (param group "occupancy_field") trained ON TOP via density-guided
-sampling: points sampled near the density surface supervise the SDF's
-occupancy (sigmoid(-10 sdf)) against the density field's rendered
-occupancy, plus an eikonal regularizer. The reference also keeps occupancy
-grids and marching-cubes visualization hooks; mesh extraction goes through
-sst-extract-mesh on the distilled SDF field.
+Functional spec: reference nerfstudio/models/dto.py:40-577 (the shipped
+configuration: ``use_nerfacto=False``, ``method="neus"`` — dto.py:146-147).
+A NeuS-style SDF ("occupancy field") is trained inside two binary occupancy
+grids:
+
+- a COARSE 32^3 grid from the dataparser's sparse point cloud
+  (``scene_box.coarse_binary_grid``, dto.py:98-99) tightens each ray's
+  [near, far] to the occupied span (dto.py:188-207);
+- a FINE grid, refreshed every 5k steps from ``sdf <= 0`` at voxel centers
+  inside occupied coarse cells (dto.py:215-255); once armed, sampling
+  collapses to a +-0.03 shell around the first fine hit (dto.py:264-287).
+
+Per step: 10 uniform "voxel samples" over the coarse bounds (dto.py:209)
+are euclidean-merged (dto.py:317-319) with NeuS samples (8 base + 16
+importance, 2 upsample rounds, base variance 512 — dto.py:121-123); the
+merged set renders with NeuS alphas; a nerfacto-style background field is
+composited behind the surface via 4 linear-disparity samples
+(dto.py:142,390-412). Losses: L1 rgb (dto.py:476), eikonal * 1e-4
+(dto.py:500), sky/foreground BCE * 0.01 (dto.py:487-489), optional S3IM
+(dto.py:503-504). The surface_sdf / sparse_pts losses are dead code in the
+reference (multiplied by 0.0, dto.py:509,524) and are not carried over.
+
+TPU redesign: both grids are static-shape; near/far tightening is a
+fixed-count probe march (samplers/grid.py::grid_near_far); the fine-grid
+refresh is jitted ``model_state`` updated on a step cadence (the same
+mechanism as neus-acc / neuralreconW), evaluated in lax.map chunks so the
+activation footprint stays bounded.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from sdfstudio_tpu.components import losses as L
-from sdfstudio_tpu.fields.sdf_field import SDFField, SDFFieldConfig, analytic_sdf_gradient
-from sdfstudio_tpu.models.nerfacto import NerfactoModel, NerfactoModelConfig
+from sdfstudio_tpu.components.colliders import sphere_collider
+from sdfstudio_tpu.core.rays import RayBundle
+from sdfstudio_tpu.models.neus import NeuSModel, NeuSModelConfig
 from sdfstudio_tpu.ops import render as R
-from sdfstudio_tpu.ops.density import unisurf_occupancy
+from sdfstudio_tpu.samplers.grid import OccupancyGrid, grid_near_far
+from sdfstudio_tpu.samplers.neus import neus_sampler
+from sdfstudio_tpu.samplers.pdf import merge_ray_samples_in_euclidean
+from sdfstudio_tpu.samplers.spaced import uniform_sampler
 
 
 @dataclasses.dataclass(frozen=True)
-class DtoOModelConfig(NerfactoModelConfig):
-    sdf_field: SDFFieldConfig = SDFFieldConfig(use_grid_feature=True, inside_outside=False)
-    occupancy_loss_mult: float = 1.0
-    sdf_eikonal_loss_mult: float = 0.1
-    surface_weight_threshold: float = 1e-2
+class DtoOModelConfig(NeuSModelConfig):
+    """Reference DtoOModelConfig (dto.py:57-75) + the constants its
+    populate_modules hard-codes (dto.py:94-144)."""
+
+    # NeuS sampler as constructed in dto.py:121-123
+    num_samples: int = 8
+    num_samples_importance: int = 16
+    num_up_sample_steps: int = 2
+    base_variance: float = 512.0
+    num_voxel_samples: int = 10  # uniform_sampler(..., 10), dto.py:209
+    # background (nerfacto field + 4 linear-disparity samples, dto.py:142)
+    background_model: str = "grid"
+    num_samples_outside: int = 4
+    eikonal_loss_mult: float = 1e-4  # dto.py:500
+    fg_mask_loss_mult: float = 0.01  # sky BCE, dto.py:487-489
+    # grids
+    coarse_probe_steps: int = 64
+    fine_grid_resolution: int = 256  # reference: 32*16 = 512 (dto.py:216-218)
+    fine_grid_update_every: int = 5000  # dto.py:215
+    fine_grid_warmup: int = 5000  # bootstrap phase before first refresh
+    fine_shell_margin: float = 0.03  # dto.py:284-285
+    smooth_loss_multi: float = 0.005  # declared by the reference config
 
 
-class DtoOModel(NerfactoModel):
+class DtoOModel(NeuSModel):
     config: DtoOModelConfig
+    has_model_state = True
+    anneal_end: int = 20000  # dto.py:144
 
-    def __init__(self, config, scene_box, num_train_data):
-        super().__init__(config, scene_box, num_train_data)
-        self.occupancy_field = SDFField(
-            config=config.sdf_field,
-            num_images=num_train_data,
-            spatial_distortion="inf",
-        )
+    @property
+    def model_state_update_every(self):
+        return self.config.fine_grid_update_every
 
-    def init(self, rng: jax.Array) -> Dict[str, Any]:
-        params = super().init(rng)
-        params["occupancy_field"] = self.occupancy_field.init(jax.random.fold_in(rng, 31))
-        return params
+    # -- grids ----------------------------------------------------------
+    def _coarse_grid(self) -> OccupancyGrid:
+        """32^3 coarse grid over [-1, 1]^3 from the dataparser's sparse
+        cloud (dto.py:94-99); all-occupied when the parser provides none."""
+        coarse = self.scene_box.coarse_binary_grid
+        if coarse is None:
+            binary = np.ones((32, 32, 32), bool)
+        else:
+            binary = np.asarray(coarse, bool)
+            cres = round(binary.size ** (1 / 3))
+            binary = binary.reshape(cres, cres, cres)
+        aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+        grid = OccupancyGrid.create(aabb, resolution=binary.shape[0])
+        return grid.replace(binary=jnp.asarray(binary))
 
-    def get_outputs(self, params, ray_bundle, rng=None, sched=None, train=True) -> Dict:
-        outputs = super().get_outputs(params, ray_bundle, rng=rng, sched=sched, train=train)
-        if not train:
-            return outputs
-        ray_samples = outputs["ray_samples_list"][-1]
-        weights = jax.lax.stop_gradient(outputs["weights_list"][-1])  # [R, S]
+    def _coarse_mask_at(self, res: int) -> np.ndarray:
+        coarse = self.scene_box.coarse_binary_grid
+        if coarse is None:
+            return np.ones((res,) * 3, bool)
+        coarse = np.asarray(coarse, bool)
+        cres = round(coarse.size ** (1 / 3))
+        coarse = coarse.reshape(cres, cres, cres)
+        rep = res // cres
+        return np.repeat(np.repeat(np.repeat(coarse, rep, 0), rep, 1), rep, 2)
 
-        # density-guided occupancy targets: transmittance-based "behind the
-        # surface" indicator (cumulative weight past each sample)
-        cum_w = jnp.cumsum(weights, axis=-1)
-        occ_target = jnp.clip(cum_w, 0.0, 1.0)
+    def init_model_state(self) -> OccupancyGrid:
+        """Fine grid starts DISARMED (all empty) — the reference bootstraps
+        with ``_binary_fine=None`` until step>5000 (dto.py:100,215)."""
+        res = self.config.fine_grid_resolution
+        aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+        grid = OccupancyGrid.create(aabb, resolution=res)
+        return grid.replace(binary=jnp.zeros((res,) * 3, bool))
 
-        pts = jax.lax.stop_gradient(ray_samples.get_start_positions())
-        pts_flat = self.occupancy_field.contract_positions(pts.reshape(-1, 3))
-        geonet = self.occupancy_field.geonetwork_fn(params["occupancy_field"])
-        sdf = geonet(pts_flat)[..., 0]
-        occ_pred = unisurf_occupancy(sdf).reshape(occ_target.shape)
-        grads = analytic_sdf_gradient(
-            lambda p: geonet(p)[..., 0], pts_flat,
-            mode=self.config.sdf_field.analytic_gradient_mode,
-        )
-        outputs["occ_pred"] = occ_pred
-        outputs["occ_target"] = occ_target
-        outputs["sdf_eik_grad"] = grads
-        return outputs
+    def update_model_state(self, params, model_state: OccupancyGrid, step, rng):
+        """Refresh the fine grid from sdf <= 0 at voxel centers within the
+        occupied coarse cells (dto.py:237-255). Chunked lax.map keeps the
+        MLP activation footprint bounded at res^3 scale."""
+        res = model_state.resolution
+        positions = model_state.cell_positions(rng=None)  # deterministic centers
+        sdf_fn = self.field.sdf_fn(params["field"])
+        chunk = 1 << 16
+        n = positions.shape[0]
+        pad = (-n) % chunk
+        padded = jnp.pad(positions, ((0, pad), (0, 0)))
+        sdf = jax.lax.map(sdf_fn, padded.reshape(-1, chunk, 3)).reshape(-1)[:n]
+        inside = (sdf <= 0.0).reshape(res, res, res)
+        coarse = jnp.asarray(self._coarse_mask_at(res))
+        armed = step >= self.config.fine_grid_warmup
+        binary = inside & coarse & armed
+        return model_state.replace(binary=binary)
 
-    def get_loss_dict(self, params, outputs, batch, sched, rng=None) -> Dict:
-        loss_dict = super().get_loss_dict(params, outputs, batch, sched, rng)
+    # -- forward --------------------------------------------------------
+    def apply_collider(self, ray_bundle: RayBundle, train: bool = True) -> RayBundle:
+        # SphereCollider(radius=1.0), dto.py:139,185
+        return sphere_collider(ray_bundle, radius=1.0, soft_intersection=True)
+
+    def sample_and_forward_field(
+        self, params, ray_bundle: RayBundle, rng, sched, train,
+        model_state: Optional[OccupancyGrid] = None,
+    ) -> Dict:
         cfg = self.config
-        if "occ_pred" in outputs:
-            loss_dict["occupancy_loss"] = cfg.occupancy_loss_mult * jnp.mean(
-                (outputs["occ_pred"] - outputs["occ_target"]) ** 2
+        fine = model_state if model_state is not None else self.init_model_state()
+
+        # coarse near/far tightening (dto.py:188-207)
+        nears, fars, _ = grid_near_far(
+            ray_bundle, self._coarse_grid(), num_probes=cfg.coarse_probe_steps
+        )
+        coarse_bundle = ray_bundle.replace(nears=nears, fars=fars)
+
+        # 10 uniform voxel samples over the coarse bounds (dto.py:209)
+        if rng is not None:
+            rng, vox_rng, neus_rng = jax.random.split(rng, 3)
+        else:
+            vox_rng = neus_rng = None
+        sampler_rng = vox_rng if (train and cfg.perturb) else None
+        voxel_samples = uniform_sampler(
+            coarse_bundle, cfg.num_voxel_samples, rng=sampler_rng
+        )
+
+        # fine-grid surface shell once armed (dto.py:264-287); disarmed
+        # (all-empty) grids hit nothing, so rays keep the coarse bounds
+        f_nears, f_fars, _ = grid_near_far(
+            ray_bundle.replace(nears=nears, fars=fars),
+            fine,
+            num_probes=cfg.coarse_probe_steps,
+            first_hit_shell=cfg.fine_shell_margin,
+        )
+        neus_bundle = ray_bundle.replace(nears=f_nears, fars=f_fars)
+
+        # NeuS importance sampling on the (possibly shell-) bounds
+        sdf_fn_raw = self.field.sdf_fn(params["field"], sched.get("hash_mask"))
+
+        def sdf_fn(samples):
+            return sdf_fn_raw(samples.get_start_positions().reshape(-1, 3)).reshape(
+                samples.starts.shape
             )
-            loss_dict["sdf_eikonal_loss"] = cfg.sdf_eikonal_loss_mult * L.eikonal_loss(
-                outputs["sdf_eik_grad"]
-            )
-        return loss_dict
+
+        neus_samples = neus_sampler(
+            neus_bundle,
+            sdf_fn,
+            rng=neus_rng if (train and cfg.perturb) else None,
+            num_samples=cfg.num_samples,
+            num_samples_importance=cfg.num_samples_importance,
+            num_upsample_steps=cfg.num_up_sample_steps,
+            base_variance=cfg.base_variance,
+        )
+
+        # euclidean merge with the voxel samples (dto.py:317-319)
+        ray_samples = merge_ray_samples_in_euclidean(
+            coarse_bundle, neus_samples, voxel_samples
+        )
+
+        field_outputs = self.field.get_outputs(
+            params["field"],
+            ray_samples,
+            hash_mask=sched.get("hash_mask"),
+            cos_anneal_ratio=sched["cos_anneal_ratio"],
+            numerical_delta=sched.get("numerical_delta"),
+            return_alphas=True,
+            train=train,
+        )
+        weights, transmittance = R.weights_and_transmittance_from_alphas(
+            field_outputs["alpha"]
+        )
+        return {
+            "ray_samples": ray_samples,
+            "field_outputs": field_outputs,
+            "weights": weights,
+            "bg_transmittance": transmittance[:, -1:],
+        }

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from sdfstudio_tpu.core.rays import RayBundle
 from sdfstudio_tpu.models.neus import NeuSModel, NeuSModelConfig
-from sdfstudio_tpu.ops import density as density_ops
 from sdfstudio_tpu.ops import render as R
 from sdfstudio_tpu.samplers.grid import OccupancyGrid, occupancy_grid_sampler
 
@@ -89,38 +88,5 @@ class NeuSAccModel(NeuSModel):
             "weights": weights,
             "bg_transmittance": transmittance[:, -1:],
             "valid_samples": valid,
+            "num_samples_per_ray": jnp.sum(valid, axis=-1),
         }
-
-    def get_outputs(self, params, ray_bundle, rng=None, sched=None, train=True,
-                    model_state=None) -> Dict:
-        sched = sched or self.schedules(jnp.asarray(1e9))
-        ray_bundle = self.apply_collider(ray_bundle, train=train)
-        if rng is not None:
-            rng, bg_rng = jax.random.split(rng)
-        s = self.sample_and_forward_field(
-            params, ray_bundle, rng, sched, train, model_state=model_state
-        )
-        field_outputs = s["field_outputs"]
-        ray_samples = s["ray_samples"]
-        weights = s["weights"]
-        rgb = R.render_rgb(field_outputs["rgb"], weights, self.config.background_color)
-        depth = R.render_depth_expected(weights, ray_samples.starts, ray_samples.ends)
-        if ray_bundle.directions_norm is not None:
-            depth = depth / ray_bundle.directions_norm
-        normal = R.render_semantics(field_outputs["normal"], weights)
-        accumulation = R.render_accumulation(weights)
-        outputs = {
-            "rgb": rgb,
-            "accumulation": accumulation,
-            "depth": depth,
-            "normal": normal,
-            "weights": weights,
-            "normal_vis": (normal + 1.0) / 2.0,
-            "directions_norm": ray_bundle.directions_norm,
-            "num_samples_per_ray": jnp.sum(s["valid_samples"], axis=-1),
-        }
-        if train:
-            outputs["eik_grad"] = field_outputs["gradient"]
-            outputs["points_norm"] = field_outputs["points_norm"]
-            outputs.update(s)
-        return outputs

@@ -26,6 +26,26 @@ def softplus_beta100(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(100.0 * x) / 100.0
 
 
+def compute_dtype() -> jnp.dtype:
+    """Activation/compute dtype for field MLPs: bfloat16 on TPU, float32
+    elsewhere (CPU bf16 is emulated and slow, and tests want exact math).
+
+    The train step is HBM-traffic-bound — MLP activations at ~100k-sample
+    scale dominate the measured 45 GB/step — so halving activation bytes is
+    a direct throughput win. This mirrors the reference, which trains its
+    field networks in fp16 inside tiny-cuda-nn (sdf_field.py:230).
+    Parameters and optimizer state stay float32 (mixed precision): casts are
+    applied at use sites and gradients accumulate in f32 through the cast
+    transpose. ``SST_MLP_DTYPE={float32,bfloat16}`` overrides.
+    """
+    import os
+
+    env = os.environ.get("SST_MLP_DTYPE")
+    if env:
+        return jnp.dtype(env)
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 class WNLinear(nn.Module):
     """Weight-normalized linear layer: W = g * V / ||V||_row.
 
@@ -38,6 +58,10 @@ class WNLinear(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     use_weight_norm: bool = True
+    # head layers (sdf / rgb outputs) set this: keeps the f32 accumulator
+    # instead of rounding to the bf16 compute dtype — NeuS alphas difference
+    # adjacent sdf samples, where bf16 cancellation is visible
+    out_f32: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_effective: bool = False):
@@ -57,7 +81,11 @@ class WNLinear(nn.Module):
             # hand the effective (kernel, bias) to a fused consumer (the
             # Pallas fully-fused MLP); x is only used for its shape.
             return kernel, b
-        return jnp.dot(x, kernel, preferred_element_type=x.dtype) + b
+        cdt = compute_dtype()
+        y = jnp.dot(
+            x.astype(cdt), kernel.astype(cdt), preferred_element_type=jnp.float32
+        )
+        return y + b if self.out_f32 else (y + b).astype(cdt)
 
 
 def geometric_kernel_init(
@@ -140,14 +168,20 @@ def _activation_name(fn: Optional[Callable]) -> Optional[str]:
 
 
 def use_fused_mlp_default() -> bool:
-    """Fused Pallas MLP is the default on real TPU backends only — on CPU the
-    Pallas interpreter would be far slower than XLA's native path.
-    ``SST_DISABLE_FUSED_MLP=1`` disables it (A/B benchmarking escape hatch)."""
+    """Whether MLPs route through the Pallas fully-fused kernel by default.
+
+    Off by default everywhere: A/B on the real TPU showed the XLA path is
+    slightly FASTER for the train step (261 vs 270 ms/step on the full-size
+    neus-facto-tpu config) — the custom-calls block XLA fusion across layer
+    boundaries and Mosaic forces 128-lane padding (hidden-64 proposal MLPs
+    ran as padded [N,128] buffers, ~2x their real traffic). The kernel also
+    pins f32 while the XLA path runs bf16 mixed precision (compute_dtype).
+    ``SST_ENABLE_FUSED_MLP=1`` re-enables on TPU for benchmarking."""
     import os
 
-    if os.environ.get("SST_DISABLE_FUSED_MLP"):
-        return False
-    return jax.default_backend() == "tpu"
+    if os.environ.get("SST_ENABLE_FUSED_MLP"):
+        return jax.default_backend() == "tpu"
+    return False
 
 
 class MLP(nn.Module):
@@ -194,15 +228,18 @@ class MLP(nn.Module):
             bs = [b for _, b in params]
             return fused_mlp(x, ws, bs, activation=act_name, out_activation=out_act_name)
 
-        inputs = x
+        cdt = compute_dtype()
+        inputs = x = x.astype(cdt)
         for i in range(self.num_layers - 1):
             if i in skips and i > 0:
                 x = jnp.concatenate([inputs, x], axis=-1)
             k, b = params[i]
-            x = jnp.dot(x, k, preferred_element_type=x.dtype) + b
-            x = self.activation(x)
+            x = jnp.dot(x, k.astype(cdt), preferred_element_type=jnp.float32) + b
+            x = self.activation(x).astype(cdt)
         k, b = params[-1]
-        x = jnp.dot(x, k, preferred_element_type=x.dtype) + b
+        # final layer accumulates and returns f32: heads (density, rgb) feed
+        # exp/sigmoid and the losses, which want full precision
+        x = jnp.dot(x, k.astype(cdt), preferred_element_type=jnp.float32) + b
         if self.out_activation is not None:
             x = self.out_activation(x)
         return x

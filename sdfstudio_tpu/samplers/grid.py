@@ -79,6 +79,43 @@ def update_occupancy_grid(
     return grid.replace(occs=occs, binary=binary)
 
 
+def grid_near_far(
+    ray_bundle: RayBundle,
+    grid: OccupancyGrid,
+    num_probes: int = 64,
+    margin: float = 0.0,
+    first_hit_shell: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tighten per-ray [near, far] against a binary occupancy grid.
+
+    TPU equivalent of the reference's nerfacc ray-marching near/far update
+    (models/dto.py:188-207, 264-287): probe ``num_probes`` points uniformly
+    in [near, far], look up occupancy, and return
+    (new_nears, new_fars, hit_mask). Rays that never hit keep their input
+    bounds. With ``first_hit_shell`` set, hit rays get the surface-shell
+    bounds [t_first - shell, t_first + shell] (the fine-grid mode,
+    dto.py:284-285); otherwise [t_first - margin, t_last + margin].
+    """
+    R = ray_bundle.origins.shape[0]
+    t = jnp.linspace(0.0, 1.0, num_probes)[None]  # probe at interval starts
+    ts = ray_bundle.nears + (ray_bundle.fars - ray_bundle.nears) * t  # [R, P]
+    pts = ray_bundle.origins[:, None] + ray_bundle.directions[:, None] * ts[..., None]
+    occ = grid.occupied_at(pts)  # [R, P]
+    hit = jnp.any(occ, axis=-1, keepdims=True)
+    big = jnp.full_like(ts, jnp.inf)
+    t_first = jnp.min(jnp.where(occ, ts, big), axis=-1, keepdims=True)
+    t_last = jnp.max(jnp.where(occ, ts, -big), axis=-1, keepdims=True)
+    if first_hit_shell is not None:
+        new_nears = t_first - first_hit_shell
+        new_fars = t_first + first_hit_shell
+    else:
+        new_nears = t_first - margin
+        new_fars = t_last + margin
+    nears = jnp.where(hit, jnp.maximum(new_nears, ray_bundle.nears), ray_bundle.nears)
+    fars = jnp.where(hit, jnp.minimum(jnp.maximum(new_fars, nears + 1e-4), ray_bundle.fars), ray_bundle.fars)
+    return nears, fars, hit
+
+
 def occupancy_grid_sampler(
     ray_bundle: RayBundle,
     grid: OccupancyGrid,
