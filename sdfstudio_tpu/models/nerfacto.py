@@ -136,6 +136,11 @@ class NerfactoModel(Model):
             single_jitter=cfg.use_single_jitter,
             anneal=sched["proposal_anneal"],
             train_proposal=sched["train_proposal"] if train else False,
+            grad_gate=(
+                "where"
+                if all(n.field_type == "mlp" for n in self.proposal_networks)
+                else "cond"
+            ),
         )
 
         field_outputs = self.field.get_outputs(params["field"], ray_samples, train=train)
@@ -186,6 +191,11 @@ class NerfactoModel(Model):
             outputs[f"prop_depth_{i}"] = R.render_depth_median(
                 weights_list[i], ray_samples_list[i].starts, ray_samples_list[i].ends
             )
+        if getattr(self, "keep_field_outputs", False):
+            # subclasses with extra heads (semantic-nerfw) consume the raw
+            # field outputs and pop this key before returning
+            outputs["field_outputs"] = field_outputs
+            outputs["ray_samples"] = ray_samples
         return outputs
 
     def get_loss_dict(self, params, outputs, batch, sched, rng=None) -> Dict:

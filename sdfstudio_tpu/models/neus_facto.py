@@ -193,6 +193,13 @@ class NeuSFactoModel(NeuSModel):
             single_jitter=cfg.use_single_jitter,
             anneal=sched["proposal_anneal"],
             train_proposal=sched["train_proposal"] if train else False,
+            # MLP proposal fields: fuse the stage (masked-cotangent gate);
+            # hash proposal fields keep lax.cond to skip backward scatters
+            grad_gate=(
+                "where"
+                if all(n.field_type == "mlp" for n in self.proposal_networks)
+                else "cond"
+            ),
         )
 
         field_outputs = self.field.get_outputs(

@@ -45,40 +45,49 @@ class SemanticNerfWModel(NerfactoModel):
             num_semantic_classes=config.num_semantic_classes,
         )
 
+    keep_field_outputs = True  # nerfacto stashes raw field outputs for us
+
     def get_outputs(self, params, ray_bundle, rng=None, sched=None, train=True) -> Dict:
         outputs = super().get_outputs(params, ray_bundle, rng=rng, sched=sched, train=train)
-        ray_samples = outputs["ray_samples_list"][-1]
-        weights = outputs["weights_list"][-1]
-        field_outputs = self.field.get_outputs(params["field"], ray_samples, train=train)
+        ray_samples = outputs.pop("ray_samples")
+        field_outputs = outputs.pop("field_outputs")
+        weights_static = outputs["weights_list"][-1]
 
         if train and self.config.use_transient_embedding and "transient_density" in field_outputs:
-            # NeRF-W: combined static+transient rendering
+            # NeRF-W combined rendering (reference semantic_nerfw.py:176-187):
+            # BOTH components render with the combined-density weights
             density_combined = field_outputs["density"] + field_outputs["transient_density"]
             weights_combined = R.weights_from_densities(ray_samples.deltas, density_combined)
-            w_static = R.weights_from_densities(ray_samples.deltas, field_outputs["density"])
-            rgb_combined = (
-                jnp.sum(weights_combined[..., None] * field_outputs["rgb"], axis=-2)
-                + jnp.sum(
-                    R.weights_from_densities(
-                        ray_samples.deltas, field_outputs["transient_density"]
-                    )[..., None]
-                    * field_outputs["transient_rgb"],
-                    axis=-2,
-                )
+            rgb_combined = jnp.sum(
+                weights_combined[..., None] * field_outputs["rgb"], axis=-2
+            ) + jnp.sum(
+                weights_combined[..., None] * field_outputs["transient_rgb"], axis=-2
+            )
+            # uncertainty renders with the TRANSIENT-only weights
+            # (semantic_nerfw.py:204-207)
+            weights_transient = R.weights_from_densities(
+                ray_samples.deltas, field_outputs["transient_density"]
             )
             uncertainty = (
-                R.render_uncertainty(field_outputs["transient_uncertainty"], weights_combined)
+                R.render_uncertainty(field_outputs["transient_uncertainty"], weights_transient)
                 + self.config.uncertainty_min
             )
             outputs["rgb"] = rgb_combined
             outputs["uncertainty"] = uncertainty
             outputs["transient_density"] = field_outputs["transient_density"]
-            weights_sem = w_static
-        else:
-            weights_sem = weights
 
-        sem_w = weights_sem if self.config.pass_semantic_gradients else jax.lax.stop_gradient(weights_sem)
+        # semantics always render with detached STATIC weights
+        # (semantic_nerfw.py:210-212)
+        sem_w = (
+            weights_static
+            if self.config.pass_semantic_gradients
+            else jax.lax.stop_gradient(weights_static)
+        )
         outputs["semantics"] = R.render_semantics(field_outputs["semantics"], sem_w)
+        if not train:
+            # host-side colormap lookup renders these (reference
+            # semantic_nerfw.py:216-218 uses the dataparser's class colors)
+            outputs["semantics_labels"] = jnp.argmax(outputs["semantics"], axis=-1)
         return outputs
 
     def get_loss_dict(self, params, outputs, batch, sched, rng=None) -> Dict:
@@ -86,12 +95,13 @@ class SemanticNerfWModel(NerfactoModel):
         loss_dict = super().get_loss_dict(params, outputs, batch, sched, rng)
         image = batch["image"]
         if "uncertainty" in outputs:
-            # NeRF-W eq. 13: uncertainty-weighted MSE + log term + density reg
+            # NeRF-W losses exactly as the reference computes them
+            # (semantic_nerfw.py:239-243): channel-SUMMED sq error / beta^2
             beta = outputs["uncertainty"]
             loss_dict["rgb_loss"] = jnp.mean(
-                ((image - outputs["rgb"]) ** 2) / (2.0 * beta**2)
+                jnp.sum((image - outputs["rgb"]) ** 2, axis=-1) / (beta[..., 0] ** 2)
             )
-            loss_dict["uncertainty_loss"] = jnp.mean(3.0 + jnp.log(beta))
+            loss_dict["uncertainty_loss"] = 3.0 + jnp.mean(jnp.log(beta))
             loss_dict["density_loss"] = 0.01 * jnp.mean(outputs["transient_density"])
         if "semantics" in batch:
             labels = batch["semantics"].astype(jnp.int32)

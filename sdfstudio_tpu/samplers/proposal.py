@@ -35,6 +35,7 @@ def proposal_network_sampler(
     single_jitter: bool = False,
     anneal: jnp.ndarray | float = 1.0,
     train_proposal: jnp.ndarray | bool = True,
+    grad_gate: str = "cond",
 ) -> Tuple[RaySamples, List[jnp.ndarray], List[RaySamples]]:
     """N rounds of density evaluation + PDF resampling
     (reference ray_samplers.py:537-578). Returns
@@ -72,19 +73,28 @@ def proposal_network_sampler(
             )
         if is_prop:
             # gradient gate replacing the reference's no_grad toggle
-            # (ray_samplers.py:551-570). lax.cond (not jnp.where) so the
-            # backward pass only runs through the taken branch: with
-            # jnp.where the proposal-table gradient scatters executed every
-            # step, while the reference pays them only on update steps
-            # (proposal_update_every=5).
+            # (ray_samplers.py:551-570). Both forms give exactly-zero
+            # proposal grads on frozen steps:
+            # - "cond": backward runs only through the taken branch. Right
+            #   for HASH proposal fields, whose table-gradient scatters are
+            #   the expensive part and only worth paying on update steps.
+            # - "where": one evaluation, cotangent masked by `updated`. The
+            #   backward matmuls run every step (cheap for MLP proposal
+            #   fields) but no conditional regions exist, so XLA fuses
+            #   across the stage instead of materializing the activations
+            #   at region boundaries (~0.4 GB/step of copies measured).
             fn = density_fns[i_level]
             positions = ray_samples.get_positions()
-            density = jax.lax.cond(
-                updated,
-                lambda p: fn(p),
-                lambda p: jax.lax.stop_gradient(fn(p)),
-                positions,
-            )
+            if grad_gate == "where":
+                d = fn(positions)
+                density = jnp.where(updated, d, jax.lax.stop_gradient(d))
+            else:
+                density = jax.lax.cond(
+                    updated,
+                    lambda p: fn(p),
+                    lambda p: jax.lax.stop_gradient(fn(p)),
+                    positions,
+                )
             weights = weights_from_densities(ray_samples.deltas, density)
             weights_list.append(weights)
             ray_samples_list.append(ray_samples)

@@ -79,13 +79,21 @@ def main(
 
     output_path.parent.mkdir(parents=True, exist_ok=True)
     arr = (np.stack(frames) * 255).astype(np.uint8)
+    import imageio.v2 as imageio
+
     if output_path.suffix.lower() in (".mp4", ".gif"):
-        import imageio.v2 as imageio
-
-        imageio.mimwrite(output_path, arr, fps=fps)
+        try:
+            if output_path.suffix.lower() == ".gif":
+                # imageio's pure-python GIF writer takes per-frame duration
+                imageio.mimwrite(output_path, arr, duration=1000.0 / fps, loop=0)
+            else:
+                imageio.mimwrite(output_path, arr, fps=fps)
+        except Exception as e:  # no ffmpeg in hermetic envs: fall back to GIF
+            fallback = output_path.with_suffix(".gif")
+            print(f"[render] {output_path.suffix} writer unavailable ({e}); writing {fallback}")
+            imageio.mimwrite(fallback, arr, duration=1000.0 / fps, loop=0)
+            output_path = fallback
     else:
-        import imageio.v2 as imageio
-
         output_path.mkdir(parents=True, exist_ok=True)
         for i, f in enumerate(arr):
             imageio.imwrite(output_path / f"{i:05d}.png", f)

@@ -15,6 +15,7 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -23,24 +24,80 @@ VIEWER_HTML = """<!DOCTYPE html>
 <html><head><title>sdfstudio-tpu viewer</title><style>
 body{margin:0;background:#111;color:#ddd;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px 10px;border-radius:4px}
+#path{position:fixed;top:8px;right:8px;background:#0008;padding:6px 10px;border-radius:4px;max-width:340px}
+#path ol{margin:4px 0;padding-left:20px;max-height:180px;overflow-y:auto}
+#cmd{word-break:break-all;color:#8f8;font-size:11px;user-select:all}
 canvas{display:block;margin:auto;image-rendering:pixelated}
-select{background:#222;color:#ddd;border:1px solid #555}
+select,button,input{background:#222;color:#ddd;border:1px solid #555;margin:1px}
 </style></head><body>
 <div id="hud">sdfstudio-tpu viewer &mdash; drag: orbit, wheel: zoom
  | output <select id="output"><option>rgb</option><option>depth</option><option>normal_vis</option><option>accumulation</option></select>
  <span id="stats"></span></div>
+<div id="path"><b>camera path</b>
+ <button id="addkf">add keyframe</button><button id="clearkf">clear</button>
+ <button id="preview">preview</button>
+ <ol id="kflist"></ol>
+ fps <input id="fps" type="number" value="24" style="width:40px">
+ seconds <input id="secs" type="number" value="5" style="width:40px">
+ res <input id="pres" type="number" value="512" style="width:50px">
+ <button id="exportkf">export render command</button>
+ <div id="cmd"></div></div>
 <canvas id="c" width="512" height="512"></canvas>
 <script>
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
 let az = 0.8, el = 0.5, radius = 2.5, busy = false, dirty = true, lowres = true;
-let drag = null;
+let drag = null, keyframes = [], previewing = false;
 canvas.onmousedown = e => drag = [e.clientX, e.clientY];
 window.onmouseup = () => drag = null;
 window.onmousemove = e => { if (drag) { az += (e.clientX-drag[0])*0.01; el += (e.clientY-drag[1])*0.01;
   el = Math.max(-1.5, Math.min(1.5, el)); drag=[e.clientX,e.clientY]; dirty=true; lowres=true; } };
 canvas.onwheel = e => { radius *= Math.exp(e.deltaY*0.001); dirty=true; lowres=true; e.preventDefault(); };
 document.getElementById('output').onchange = () => { dirty=true; lowres=true; };
+function refreshKf(){
+  const ol = document.getElementById('kflist'); ol.innerHTML='';
+  keyframes.forEach((k,i)=>{ const li=document.createElement('li');
+    li.textContent = 'az='+k.azimuth.toFixed(2)+' el='+k.elevation.toFixed(2)+' r='+k.radius.toFixed(2)+' ';
+    const go=document.createElement('button'); go.textContent='go';
+    go.onclick=()=>{az=k.azimuth; el=k.elevation; radius=k.radius; dirty=true; lowres=true;};
+    const rm=document.createElement('button'); rm.textContent='x';
+    rm.onclick=()=>{keyframes.splice(i,1); refreshKf();};
+    li.appendChild(go); li.appendChild(rm); ol.appendChild(li); });
+}
+document.getElementById('addkf').onclick = () => {
+  keyframes.push({azimuth: az, elevation: el, radius: radius}); refreshKf(); };
+document.getElementById('clearkf').onclick = () => { keyframes=[]; refreshKf(); };
+// catmull-rom in (az, el, radius) — must match the server's interpolation
+function cr(p0,p1,p2,p3,t){ return 0.5*((2*p1)+(-p0+p2)*t+(2*p0-5*p1+4*p2-p3)*t*t+(-p0+3*p1-3*p2+p3)*t*t*t); }
+function samplePath(u){
+  const n = keyframes.length; const s = u*(n-1);
+  const i = Math.min(Math.floor(s), n-2); const t = s-i;
+  const idx = j => Math.max(0, Math.min(n-1, j));
+  const out = {};
+  for (const k of ['azimuth','elevation','radius'])
+    out[k] = cr(keyframes[idx(i-1)][k], keyframes[i][k], keyframes[idx(i+1)][k], keyframes[idx(i+2)][k], t);
+  return out;
+}
+document.getElementById('preview').onclick = async () => {
+  if (keyframes.length < 2 || previewing) return;
+  previewing = true;
+  for (let f = 0; f <= 40; f++) {
+    const p = samplePath(f/40); az=p.azimuth; el=p.elevation; radius=p.radius;
+    dirty=true; lowres=true;
+    await new Promise(r=>setTimeout(r, 120));
+  }
+  previewing = false;
+};
+document.getElementById('exportkf').onclick = async () => {
+  if (keyframes.length < 2) { document.getElementById('cmd').textContent = 'need >= 2 keyframes'; return; }
+  const r = await fetch('/save_path', {method:'POST', body: JSON.stringify({
+    keyframes: keyframes, fps: +document.getElementById('fps').value,
+    seconds: +document.getElementById('secs').value,
+    render_width: +document.getElementById('pres').value,
+    render_height: +document.getElementById('pres').value})});
+  const data = await r.json();
+  document.getElementById('cmd').textContent = data.command;
+};
 async function loop(){
   if ((dirty || lowres) && !busy) {
     busy = true; const wasLow = lowres;
@@ -185,6 +242,76 @@ class ViewerState:
         return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def _catmull_rom(p0, p1, p2, p3, t):
+    return 0.5 * (
+        2 * p1
+        + (-p0 + p2) * t
+        + (2 * p0 - 5 * p1 + 4 * p2 - p3) * t * t
+        + (-p0 + 3 * p1 - 3 * p2 + p3) * t * t * t
+    )
+
+
+def _orbit_pose(azimuth, elevation, radius):
+    """camera-to-world for an orbit camera looking at the origin (matches
+    ViewerState._render)."""
+    from sdfstudio_tpu.cameras.camera_utils import viewmatrix
+
+    center = np.array(
+        [
+            radius * np.cos(azimuth) * np.cos(elevation),
+            radius * np.sin(azimuth) * np.cos(elevation),
+            radius * np.sin(elevation),
+        ]
+    )
+    up = np.array([0.0, 0.0, 1.0])
+    return viewmatrix(-center, up, center)
+
+
+def save_camera_path(keyframes, fps, seconds, render_width, render_height, base_dir):
+    """Interpolate orbit keyframes (Catmull-Rom in az/el/radius) into the
+    viewer camera-path JSON consumed by ``sst-render --traj filename``
+    (camera_paths.get_path_from_json; the reference's most-used viewer
+    feature, viewer_utils.py:208+ / scripts/render.py). Returns the
+    ready-to-run command string."""
+    num_frames = max(int(fps * seconds), 2)
+    n = len(keyframes)
+    cams = []
+    fov = 2 * np.degrees(np.arctan(0.5 / 0.9))  # focal = 0.9*h, matches _render
+    for f in range(num_frames):
+        u = f / (num_frames - 1)
+        s = u * (n - 1)
+        i = min(int(s), n - 2)
+        t = s - i
+
+        def kf(j, key):
+            return keyframes[max(0, min(n - 1, j))][key]
+
+        vals = {
+            key: _catmull_rom(kf(i - 1, key), kf(i, key), kf(i + 1, key), kf(i + 2, key), t)
+            for key in ("azimuth", "elevation", "radius")
+        }
+        c2w = np.eye(4)
+        c2w[:3] = _orbit_pose(vals["azimuth"], vals["elevation"], vals["radius"])
+        cams.append({"camera_to_world": c2w.flatten().tolist(), "fov": float(fov)})
+    path = {
+        "render_height": int(render_height),
+        "render_width": int(render_width),
+        "fps": fps,
+        "seconds": seconds,
+        "keyframes": keyframes,
+        "camera_path": cams,
+    }
+    base = Path(base_dir)
+    out = base / "camera_paths" / "viewer_path.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(path))
+    cmd = (
+        f"sst-render --load-config {base / 'config.yml'} --traj filename "
+        f"--camera-path-filename {out} --output-path renders/path.gif --fps {fps}"
+    )
+    return out, cmd
+
+
 def _make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
@@ -199,6 +326,21 @@ def _make_handler(state: ViewerState):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
+            if self.path == "/save_path":
+                out, cmd = save_camera_path(
+                    req["keyframes"],
+                    req.get("fps", 24),
+                    req.get("seconds", 5),
+                    req.get("render_width", 512),
+                    req.get("render_height", 512),
+                    state.trainer.base_dir,
+                )
+                body = json.dumps({"path": str(out), "command": cmd}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             img = state.render_pose(
                 req.get("azimuth", 0.0),
                 req.get("elevation", 0.3),

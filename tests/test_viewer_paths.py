@@ -1,0 +1,67 @@
+"""Viewer camera-path workflow: keyframes -> saved JSON -> sst-render cameras.
+
+Covers the reference's viewer camera-path editor + render-command export
+(reference nerfstudio/viewer/server/viewer_utils.py:208+, scripts/render.py
+--traj filename)."""
+import json
+
+import numpy as np
+import pytest
+
+from sdfstudio_tpu.cameras.camera_paths import get_path_from_json
+from sdfstudio_tpu.viewer.server import save_camera_path
+
+
+@pytest.fixture()
+def keyframes():
+    return [
+        {"azimuth": 0.0, "elevation": 0.3, "radius": 2.5},
+        {"azimuth": 1.2, "elevation": 0.5, "radius": 2.0},
+        {"azimuth": 2.5, "elevation": 0.2, "radius": 2.8},
+    ]
+
+
+def test_save_camera_path_roundtrip(keyframes, tmp_path):
+    out, cmd = save_camera_path(
+        keyframes, fps=10, seconds=2, render_width=64, render_height=64,
+        base_dir=tmp_path,
+    )
+    assert out.exists()
+    data = json.loads(out.read_text())
+    assert len(data["camera_path"]) == 20
+    assert data["render_width"] == 64
+
+    # the exported command references the written file and the config
+    assert str(out) in cmd and "config.yml" in cmd and "--traj filename" in cmd
+
+    # loads into renderable Cameras via the sst-render path
+    cams = get_path_from_json(data)
+    assert cams.num_cameras == 20
+    bundle = cams.generate_image_rays(0)
+    assert bundle.origins.shape == (64 * 64, 3)
+    # orbit cameras look at the origin: ray through the image center passes
+    # near (0,0,0)
+    c = bundle.origins.shape[0] // 2 + 32  # center pixel
+    o, d = np.asarray(bundle.origins[c]), np.asarray(bundle.directions[c])
+    closest = o - d * np.dot(o, d) / np.dot(d, d)
+    assert np.linalg.norm(closest) < 0.1
+
+
+def test_path_interpolates_through_keyframes(keyframes, tmp_path):
+    out, _ = save_camera_path(
+        keyframes, fps=10, seconds=2, render_width=32, render_height=32,
+        base_dir=tmp_path,
+    )
+    data = json.loads(out.read_text())
+    first = np.asarray(data["camera_path"][0]["camera_to_world"]).reshape(4, 4)
+    last = np.asarray(data["camera_path"][-1]["camera_to_world"]).reshape(4, 4)
+
+    def orbit_center(kf):
+        r, az, el = kf["radius"], kf["azimuth"], kf["elevation"]
+        return np.array(
+            [r * np.cos(az) * np.cos(el), r * np.sin(az) * np.cos(el), r * np.sin(el)]
+        )
+
+    # endpoints hit the first/last keyframes exactly
+    np.testing.assert_allclose(first[:3, 3], orbit_center(keyframes[0]), atol=1e-6)
+    np.testing.assert_allclose(last[:3, 3], orbit_center(keyframes[-1]), atol=1e-6)
