@@ -1,11 +1,17 @@
 """sst-texture: bake a textured OBJ from a trained field + mesh.
 
 Functional spec: reference nerfstudio/exporter/texture_utils.py:210-326 +
-scripts/texture.py (xatlas UV unwrap + per-texel field color bake). xatlas
-is unavailable in this environment, so UVs come from a per-triangle square
-atlas (each triangle gets its own texture cell — no seam optimization, but
-correct per-texel field colors); baking evaluates the field's color network
-at texel surface points with view direction along the surface normal.
+scripts/texture.py (xatlas UV unwrap + per-texel field color bake). Two
+unwrap methods, mirroring the reference's ``xatlas`` / ``custom`` pair:
+
+- ``charts`` (default): in-tree seam-aware chart unwrap — normal-coherent
+  chart growing + planar parameterization + shelf packing + gutter
+  dilation (utils/unwrap.py; the xatlas replacement);
+- ``per-triangle``: each triangle in its own texture cell (the reference's
+  ``custom`` unwrap, texture_utils.py:78-207).
+
+Baking evaluates the field's color network at texel surface points with
+view direction along the surface normal.
 """
 from __future__ import annotations
 
@@ -13,6 +19,71 @@ import argparse
 from pathlib import Path
 
 import numpy as np
+
+
+def _field_shader(trainer):
+    """jitted (points, dirs, grads) -> rgb through the trained color net."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdfstudio_tpu.fields.sdf_field import SDFFieldNet
+
+    params = trainer.state.params["field"]
+    field = trainer.model.field
+
+    @jax.jit
+    def shade(points, dirs, grads):
+        geonet = field.geonetwork_fn(params)
+        h = geonet(points)
+        feat = h[..., 1:]
+        cam = jnp.zeros(points.shape[:-1], jnp.int32)
+        return field.module.apply(
+            {"params": params}, points, dirs, grads, feat, cam, False, False,
+            method=SDFFieldNet.colors,
+        )
+
+    return shade
+
+
+def bake_texture_charts(trainer, mesh, texture_size: int = 2048):
+    """Chart-unwrapped bake: returns (uvs [F, 3, 2], texture [T, T, 3])."""
+    import jax.numpy as jnp
+
+    from sdfstudio_tpu.utils.unwrap import (
+        dilate_texture,
+        rasterize_atlas,
+        unwrap_charts,
+    )
+
+    verts = np.asarray(mesh.vertices, np.float64)
+    faces = np.asarray(mesh.faces, np.int64)
+    uvs, _ = unwrap_charts(verts, faces, texture_size=texture_size)
+    face_id, bary, covered = rasterize_atlas(uvs, texture_size)
+
+    tri = verts[faces]  # [F, 3, 3]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    ys, xs = np.nonzero(covered)
+    f = face_id[ys, xs]
+    w = bary[ys, xs].astype(np.float64)  # [N, 3]
+    pts = np.einsum("nk,nkd->nd", w, tri[f]).astype(np.float32)
+    nrm = n[f].astype(np.float32)
+
+    shade = _field_shader(trainer)
+    texture = np.zeros((texture_size, texture_size, 3), np.float32)
+    chunk = 131072
+    for i0 in range(0, len(pts), chunk):
+        sl = slice(i0, min(i0 + chunk, len(pts)))
+        rgb = np.asarray(
+            shade(jnp.asarray(pts[sl]), jnp.asarray(-nrm[sl]), jnp.asarray(nrm[sl]))
+        )
+        texture[ys[sl], xs[sl]] = rgb
+    texture = dilate_texture(np.clip(texture, 0, 1), covered)
+
+    out_uvs = uvs.copy()
+    out_uvs[..., 1] = 1.0 - out_uvs[..., 1]  # OBJ v-flip
+    return out_uvs, texture
 
 
 def bake_texture(trainer, mesh, px_per_tri: int = 8, texture_size: int = 2048):
@@ -89,12 +160,18 @@ def bake_texture(trainer, mesh, px_per_tri: int = 8, texture_size: int = 2048):
     return uvs, np.clip(texture, 0, 1)
 
 
-def export_textured_obj(trainer, mesh, out_dir: Path, name: str = "mesh"):
+def export_textured_obj(
+    trainer, mesh, out_dir: Path, name: str = "mesh", unwrap: str = "charts",
+    texture_size: int = 2048,
+):
     import imageio.v2 as imageio
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    uvs, texture = bake_texture(trainer, mesh)
+    if unwrap == "charts":
+        uvs, texture = bake_texture_charts(trainer, mesh, texture_size=texture_size)
+    else:
+        uvs, texture = bake_texture(trainer, mesh, texture_size=texture_size)
     imageio.imwrite(out_dir / f"{name}.png", (texture * 255).astype(np.uint8))
     (out_dir / f"{name}.mtl").write_text(
         f"newmtl material0\nKd 1 1 1\nmap_Kd {name}.png\n"
@@ -117,13 +194,18 @@ def entrypoint():
     p.add_argument("--load-config", type=Path, required=True)
     p.add_argument("--input-mesh", type=Path, required=True)
     p.add_argument("--output-dir", type=Path, default=Path("textured"))
+    p.add_argument("--unwrap", choices=["charts", "per-triangle"], default="charts",
+                   help="charts = seam-aware chart atlas (xatlas analog); "
+                   "per-triangle = one texture cell per triangle")
+    p.add_argument("--texture-size", type=int, default=2048)
     a = p.parse_args()
     from sdfstudio_tpu.engine.setup import eval_setup
     from sdfstudio_tpu.utils.mesh_io import read_ply
 
     _, trainer = eval_setup(a.load_config)
     mesh = read_ply(a.input_mesh)
-    export_textured_obj(trainer, mesh, a.output_dir)
+    export_textured_obj(trainer, mesh, a.output_dir, unwrap=a.unwrap,
+                        texture_size=a.texture_size)
 
 
 if __name__ == "__main__":
