@@ -173,9 +173,19 @@ def read_cameras_text(path: Path) -> Dict[int, ColmapCamera]:
 
 def read_images_text(path: Path) -> Dict[int, ColmapImage]:
     images = {}
-    lines = [
-        l for l in Path(path).read_text().splitlines() if l.strip() and not l.startswith("#")
-    ]
+    # keep empty lines: images with zero 2D observations have a blank
+    # POINTS2D line, and dropping it would desynchronize the meta/points
+    # pairing for every image after it
+    raw = [l for l in Path(path).read_text().splitlines() if not l.startswith("#")]
+    lines = []
+    expecting_points = False
+    for l in raw:
+        if not l.strip() and not expecting_points:
+            continue  # stray blank between records
+        lines.append(l)
+        expecting_points = not expecting_points
+    if expecting_points:
+        lines.append("")  # trailing image with no points line
     for meta_line, pts_line in zip(lines[0::2], lines[1::2]):
         elems = meta_line.split()
         img_id = int(elems[0])

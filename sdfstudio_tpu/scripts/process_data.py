@@ -1,16 +1,19 @@
 """sst-process-data: capture -> nerfstudio/sdfstudio format.
 
 Functional spec: reference scripts/process_data.py:733 (images/video ->
-ffmpeg frames -> COLMAP/hloc SfM -> transforms.json). This environment
-ships neither ffmpeg nor COLMAP binaries, so this CLI covers what is
-possible hermetically and delegates the rest with precise instructions:
+ffmpeg frames -> COLMAP/hloc SfM -> transforms.json). End-to-end behavior
+depends on what the machine provides:
 
-* ``images`` mode: copies/downscales frames, and — when a COLMAP sparse
-  model already exists (data/colmap/sparse/0 or data/sparse/0) — writes
-  transforms.json from it using the built-in pure-python COLMAP readers.
-* ``video`` mode: extracts frames with imageio/pyav when available.
-* SfM itself must be run externally (colmap binary or hloc); the tool
-  prints the exact commands.
+* when a ``colmap`` binary is on PATH, SfM is orchestrated in-process with
+  the reference's command sequence (feature_extractor -> matcher -> mapper
+  -> bundle_adjuster; reference process_data/colmap_utils.py run_colmap);
+* when a COLMAP sparse model already exists (data/colmap/sparse/0 or
+  data/sparse/0), transforms.json is written from it using the built-in
+  pure-python COLMAP readers (bin and txt);
+* ``video`` mode extracts frames with imageio/pyav when available
+  (ffmpeg's role in the reference);
+* otherwise the tool prints the exact external commands to run
+  (hermetic environments without COLMAP).
 
 Converters to sdfstudio format live in sdfstudio_tpu/scripts/datasets/.
 """
@@ -19,10 +22,66 @@ from __future__ import annotations
 import argparse
 import json
 import shutil
+import subprocess
 import sys
 from pathlib import Path
 
 import numpy as np
+
+
+def run_colmap(
+    out_dir: Path,
+    image_dir: Path,
+    camera_model: str = "OPENCV",
+    matcher: str = "exhaustive",
+    use_gpu: bool = False,
+    colmap_cmd: str = "colmap",
+    verbose: bool = False,
+) -> Path:
+    """Run the COLMAP SfM pipeline (the reference's run_colmap,
+    process_data/colmap_utils.py: feature_extractor -> *_matcher -> mapper
+    -> bundle_adjuster). Returns the sparse model dir (sparse/0)."""
+    db = out_dir / "database.db"
+    sparse = out_dir / "sparse"
+    sparse.mkdir(parents=True, exist_ok=True)
+    gpu = "1" if use_gpu else "0"
+
+    def run(args):
+        if verbose:
+            print("[colmap]", " ".join(str(a) for a in args), flush=True)
+        subprocess.run(
+            [str(a) for a in args],
+            check=True,
+            capture_output=not verbose,
+        )
+
+    run([
+        colmap_cmd, "feature_extractor",
+        "--database_path", db,
+        "--image_path", image_dir,
+        "--ImageReader.single_camera", "1",
+        "--ImageReader.camera_model", camera_model,
+        "--SiftExtraction.use_gpu", gpu,
+    ])
+    run([
+        colmap_cmd, f"{matcher}_matcher",
+        "--database_path", db,
+        "--SiftMatching.use_gpu", gpu,
+    ])
+    run([
+        colmap_cmd, "mapper",
+        "--database_path", db,
+        "--image_path", image_dir,
+        "--output_path", sparse,
+    ])
+    model = sparse / "0"
+    run([
+        colmap_cmd, "bundle_adjuster",
+        "--input_path", model,
+        "--output_path", model,
+        "--BundleAdjustment.refine_principal_point", "1",
+    ])
+    return model
 
 
 def colmap_to_transforms(data_dir: Path, out_path: Path, images_path: str = "images"):
@@ -89,23 +148,28 @@ def extract_video_frames(video: Path, out_dir: Path, num_frames: int = 300):
     print(f"extracted {k} frames to {out_dir}")
 
 
-def entrypoint():
+def entrypoint(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     pi = sub.add_parser("images")
-    pi.add_argument("--data", type=Path, required=True)
-    pi.add_argument("--output-dir", type=Path, required=True)
     pv = sub.add_parser("video")
-    pv.add_argument("--data", type=Path, required=True)
-    pv.add_argument("--output-dir", type=Path, required=True)
     pv.add_argument("--num-frames-target", type=int, default=300)
-    a = p.parse_args()
+    for sp in (pi, pv):
+        sp.add_argument("--data", type=Path, required=True)
+        sp.add_argument("--output-dir", type=Path, required=True)
+        sp.add_argument("--matching-method", default="exhaustive",
+                        choices=["exhaustive", "sequential", "vocab_tree"])
+        sp.add_argument("--camera-type", default="OPENCV")
+        sp.add_argument("--no-sfm", action="store_true",
+                        help="skip COLMAP even if the binary is present")
+        sp.add_argument("--use-gpu", action="store_true")
+        sp.add_argument("--verbose", action="store_true")
+    a = p.parse_args(argv)
 
     out = Path(a.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     if a.cmd == "video":
         extract_video_frames(Path(a.data), out / "images", a.num_frames_target)
-        src = out
     else:
         imgs = out / "images"
         if Path(a.data).resolve() != imgs.resolve():
@@ -113,13 +177,30 @@ def entrypoint():
             for f in sorted(Path(a.data).iterdir()):
                 if f.suffix.lower() in (".jpg", ".jpeg", ".png"):
                     shutil.copy(f, imgs / f.name)
-        src = out
+
+    # orchestrate SfM when a colmap binary is available and no sparse
+    # model exists yet (reference process_data.py:733 runs COLMAP itself)
+    has_model = any(
+        (out / c).exists() for c in ("colmap/sparse/0", "sparse/0", "sparse")
+    )
+    colmap_bin = shutil.which("colmap")
+    if not has_model and colmap_bin and not a.no_sfm:
+        print(f"running COLMAP SfM ({colmap_bin})", flush=True)
+        run_colmap(
+            out,
+            out / "images",
+            camera_model=a.camera_type,
+            matcher=a.matching_method,
+            use_gpu=a.use_gpu,
+            verbose=a.verbose,
+        )
 
     try:
-        colmap_to_transforms(src, out / "transforms.json")
+        colmap_to_transforms(out, out / "transforms.json")
     except FileNotFoundError:
         print(
-            "No COLMAP sparse model found. Run SfM externally, e.g.:\n"
+            "No COLMAP sparse model found and no colmap binary on PATH.\n"
+            "Run SfM externally, e.g.:\n"
             f"  colmap automatic_reconstructor --workspace_path {out} "
             f"--image_path {out / 'images'} --sparse 1 --dense 0\n"
             "then re-run this command to produce transforms.json.",
