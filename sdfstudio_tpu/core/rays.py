@@ -26,6 +26,8 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 from flax import struct
 
+from sdfstudio_tpu.utils import checks
+
 # ---------------------------------------------------------------------------
 # Spacing warps (ray_samplers.py:130-247): map euclidean distance t -> s in a
 # warped space where uniform sampling has the desired density.
@@ -100,7 +102,8 @@ class RayBundle:
         """Build RaySamples from bin edges (reference rays.py:295-339)."""
         if spacing_bins is None:
             spacing_bins = euclidean_bins
-        return RaySamples(
+        checks.check_ray_bundle(self)
+        samples = RaySamples(
             origins=self.origins,
             directions=self.directions,
             pixel_area=self.pixel_area,
@@ -115,6 +118,8 @@ class RayBundle:
             times=self.times,
             metadata=self.metadata,
         )
+        checks.check_ray_samples(samples)
+        return samples
 
 
 @struct.dataclass

@@ -44,6 +44,7 @@ class HashMLPDensityFieldNet(nn.Module):
     base_res: int = 16
     log2_hashmap_size: int = 18
     features_per_level: int = 2
+    table_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, positions01: jnp.ndarray) -> jnp.ndarray:
@@ -54,6 +55,7 @@ class HashMLPDensityFieldNet(nn.Module):
             max_res=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
+            table_dtype=self.table_dtype,
         )(positions01)
         if self.use_linear:
             raw = nn.Dense(1)(enc)
@@ -104,6 +106,7 @@ class HashMLPDensityField:
     log2_hashmap_size: int = 18
     features_per_level: int = 2
     field_type: str = "hash"  # hash | mlp (TPU-native gather-free variant)
+    table_dtype: str = "float32"
 
     def __post_init__(self):
         if self.field_type == "mlp":
@@ -127,6 +130,7 @@ class HashMLPDensityField:
                 base_res=self.base_res,
                 log2_hashmap_size=self.log2_hashmap_size,
                 features_per_level=self.features_per_level,
+                table_dtype=self.table_dtype,
             )
 
     def init(self, rng) -> FrozenDict:

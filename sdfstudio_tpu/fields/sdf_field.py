@@ -92,6 +92,7 @@ class SDFFieldConfig:
     log2_hashmap_size: int = 19
     hash_features_per_level: int = 2
     hash_smoothstep: bool = True
+    hash_table_dtype: str = "float32"  # "bfloat16" = tcnn-style fp16-class tables
     use_position_encoding: bool = True
     analytic_gradient_mode: str = "vjp"  # vjp | jvp | reverse
     """How analytic SDF input-gradients are computed. "jvp" takes 3
@@ -118,6 +119,7 @@ class SDFFieldNet(nn.Module):
                 log2_hashmap_size=cfg.log2_hashmap_size,
                 features_per_level=cfg.hash_features_per_level,
                 smoothstep=cfg.hash_smoothstep,
+                table_dtype=cfg.hash_table_dtype,
             )
             grid_dim = self.encoding.out_dim
         elif cfg.encoding_type == "periodic":

@@ -41,10 +41,8 @@ from sdfstudio_tpu.components.colliders import sphere_collider
 from sdfstudio_tpu.core.rays import RayBundle
 from sdfstudio_tpu.models.neus import NeuSModel, NeuSModelConfig
 from sdfstudio_tpu.ops import render as R
-from sdfstudio_tpu.samplers.grid import OccupancyGrid, grid_near_far
-from sdfstudio_tpu.samplers.neus import neus_sampler
-from sdfstudio_tpu.samplers.pdf import merge_ray_samples_in_euclidean
-from sdfstudio_tpu.samplers.spaced import uniform_sampler
+from sdfstudio_tpu.samplers.grid import OccupancyGrid
+from sdfstudio_tpu.samplers.surface_guided import voxel_surface_guided_samples
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,34 +141,6 @@ class DtoOModel(NeuSModel):
     ) -> Dict:
         cfg = self.config
         fine = model_state if model_state is not None else self.init_model_state()
-
-        # coarse near/far tightening (dto.py:188-207)
-        nears, fars, _ = grid_near_far(
-            ray_bundle, self._coarse_grid(), num_probes=cfg.coarse_probe_steps
-        )
-        coarse_bundle = ray_bundle.replace(nears=nears, fars=fars)
-
-        # 10 uniform voxel samples over the coarse bounds (dto.py:209)
-        if rng is not None:
-            rng, vox_rng, neus_rng = jax.random.split(rng, 3)
-        else:
-            vox_rng = neus_rng = None
-        sampler_rng = vox_rng if (train and cfg.perturb) else None
-        voxel_samples = uniform_sampler(
-            coarse_bundle, cfg.num_voxel_samples, rng=sampler_rng
-        )
-
-        # fine-grid surface shell once armed (dto.py:264-287); disarmed
-        # (all-empty) grids hit nothing, so rays keep the coarse bounds
-        f_nears, f_fars, _ = grid_near_far(
-            ray_bundle.replace(nears=nears, fars=fars),
-            fine,
-            num_probes=cfg.coarse_probe_steps,
-            first_hit_shell=cfg.fine_shell_margin,
-        )
-        neus_bundle = ray_bundle.replace(nears=f_nears, fars=f_fars)
-
-        # NeuS importance sampling on the (possibly shell-) bounds
         sdf_fn_raw = self.field.sdf_fn(params["field"], sched.get("hash_mask"))
 
         def sdf_fn(samples):
@@ -178,19 +148,19 @@ class DtoOModel(NeuSModel):
                 samples.starts.shape
             )
 
-        neus_samples = neus_sampler(
-            neus_bundle,
+        ray_samples = voxel_surface_guided_samples(
+            ray_bundle,
+            self._coarse_grid(),
+            fine,
             sdf_fn,
-            rng=neus_rng if (train and cfg.perturb) else None,
+            rng=rng if (train and cfg.perturb) else None,
+            num_voxel_samples=cfg.num_voxel_samples,
             num_samples=cfg.num_samples,
             num_samples_importance=cfg.num_samples_importance,
             num_upsample_steps=cfg.num_up_sample_steps,
             base_variance=cfg.base_variance,
-        )
-
-        # euclidean merge with the voxel samples (dto.py:317-319)
-        ray_samples = merge_ray_samples_in_euclidean(
-            coarse_bundle, neus_samples, voxel_samples
+            coarse_probe_steps=cfg.coarse_probe_steps,
+            fine_shell_margin=cfg.fine_shell_margin,
         )
 
         field_outputs = self.field.get_outputs(

@@ -224,15 +224,20 @@ def _table_gather_bwd(res, g):
     from sdfstudio_tpu.ops.scatter import sorted_segment_add
 
     idx, (F, R) = res
+    table_dtype = g.dtype  # cotangent dtype == output dtype == table dtype
     flat_i = idx.reshape(-1)
-    flat_g = jnp.moveaxis(g, 0, -1).reshape(-1, F)  # [M, F]
+    # Accumulate in f32 even for bf16 tables: millions of tiny updates per
+    # row would swamp bf16's 8-bit mantissa. The result is cast back to the
+    # table dtype; the f32->bf16 cast upstream (see HashEncoding) then
+    # forwards it to the f32 master param.
+    flat_g = jnp.moveaxis(g, 0, -1).reshape(-1, F).astype(jnp.float32)  # [M, F]
     if jax.default_backend() == "cpu":
         # CPU scatter-add is fast; the sort construction's R-query argsorts
         # are not. Strategy picked at trace time per backend.
         dtable = jnp.zeros((R, F), flat_g.dtype).at[flat_i].add(flat_g)
     else:
         dtable = sorted_segment_add(flat_i, flat_g, R)  # [R, F]
-    return dtable.T, None
+    return dtable.T.astype(table_dtype), None
 
 
 table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)
@@ -265,6 +270,13 @@ class HashEncoding(nn.Module):
     features_per_level: int = 2
     hash_init_scale: float = 1e-4
     smoothstep: bool = False
+    # Gather-compute dtype for the table ("float32" | "bfloat16"). The
+    # master param stays f32 (Adam precision); "bfloat16" casts the SOA
+    # table once per step before the gather — halving the bytes the
+    # dominant multi-M-row random gather moves — exactly tcnn's fp16
+    # HashGrid training mode that the reference runs (sdf_field.py:230).
+    # Trilinear blend + jacobian still run in f32.
+    table_dtype: str = "float32"
 
     @property
     def out_dim(self) -> int:
@@ -380,7 +392,9 @@ class HashEncoding(nn.Module):
         K = L * 8
         idx_flat = idx.reshape(*batch, K)
         table_t = table.T  # [F, total_rows]
-        feats = table_gather(table_t, idx_flat)  # [F, ..., K]
+        if self.table_dtype != "float32":
+            table_t = table_t.astype(self.table_dtype)
+        feats = table_gather(table_t, idx_flat).astype(x.dtype)  # [F, ..., K]
         # named so remat policies can SAVE the gathered corner rows: the
         # backward pass needs them (d weights/dx chains through the corner
         # features), and recomputing the forward under jax.checkpoint would

@@ -63,6 +63,11 @@ def main() -> None:
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--bound", type=float, default=1.0)
     ap.add_argument("--output-mesh", type=Path, default=None)
+    ap.add_argument(
+        "--gt", choices=["sphere", "dtu-like"], default="sphere",
+        help="analytic ground truth: 'sphere' (generate_sphere_dataset) or "
+        "'dtu-like' (synthetic_dtu.gt_sdf — the DTU-scan65-protocol scene)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -94,11 +99,18 @@ def main() -> None:
     if len(v) == 0:
         print("GEOMETRY no surface found", flush=True)
         return
-    m = chamfer_l1_to_sphere(v, args.radius)
+    if args.gt == "dtu-like":
+        from sdfstudio_tpu.data.synthetic_dtu import chamfer_l1_to_gt
+
+        m = chamfer_l1_to_gt(v)
+        gt_note = "(gt=dtu-like)"
+    else:
+        m = chamfer_l1_to_sphere(v, args.radius)
+        gt_note = f"(radius={args.radius})"
     print(
         f"GEOMETRY verts={len(v)} chamfer_l1={m['chamfer_l1']:.4f} "
         f"accuracy={m['accuracy']:.4f} completeness={m['completeness']:.4f} "
-        f"(radius={args.radius})",
+        f"{gt_note}",
         flush=True,
     )
 

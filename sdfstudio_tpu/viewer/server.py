@@ -33,6 +33,13 @@ select,button,input{background:#222;color:#ddd;border:1px solid #555;margin:1px}
 <div id="hud">sdfstudio-tpu viewer &mdash; drag: orbit, wheel: zoom
  | output <select id="output"><option>rgb</option><option>depth</option><option>normal_vis</option><option>accumulation</option></select>
  <span id="stats"></span></div>
+<div id="train" style="position:fixed;bottom:8px;left:8px;background:#0008;padding:6px 10px;border-radius:4px">
+ <button id="pause">pause training</button>
+ <b>export</b> <select id="ekind"><option>pointcloud</option><option>tsdf</option>
+ <option>marching-cubes</option><option>poisson</option><option>texture</option></select>
+ res <input id="eres" type="number" value="256" style="width:50px">
+ <button id="exportcmd">command</button>
+ <div id="ecmd" style="word-break:break-all;color:#8f8;font-size:11px;user-select:all"></div></div>
 <div id="path"><b>camera path</b>
  <button id="addkf">add keyframe</button><button id="clearkf">clear</button>
  <button id="preview">preview</button>
@@ -88,6 +95,18 @@ document.getElementById('preview').onclick = async () => {
   }
   previewing = false;
 };
+document.getElementById('pause').onclick = async () => {
+  const r = await fetch('/control', {method:'POST', body: JSON.stringify({action:'toggle'})});
+  const data = await r.json();
+  document.getElementById('pause').textContent = data.paused ? 'resume training' : 'pause training';
+};
+document.getElementById('exportcmd').onclick = async () => {
+  const r = await fetch('/export_cmd', {method:'POST', body: JSON.stringify({
+    kind: document.getElementById('ekind').value,
+    resolution: +document.getElementById('eres').value})});
+  const data = await r.json();
+  document.getElementById('ecmd').textContent = data.command;
+};
 document.getElementById('exportkf').onclick = async () => {
   if (keyframes.length < 2) { document.getElementById('cmd').textContent = 'need >= 2 keyframes'; return; }
   const r = await fetch('/save_path', {method:'POST', body: JSON.stringify({
@@ -141,6 +160,10 @@ class ViewerState:
         import queue
 
         self._queue = queue.Queue()
+        # pause/resume training control (reference viewer_utils.py:365-380:
+        # the training loop blocks in _update_viewer_state while paused,
+        # still servicing renders)
+        self.paused = False
 
     # ---------------- HTTP-thread side ----------------
     def render_pose(self, azimuth, elevation, radius, width, height, output="rgb"):
@@ -157,16 +180,23 @@ class ViewerState:
 
     # ---------------- training-thread side ----------------
     def service(self, max_requests: int = 2) -> None:
-        """Render pending viewer requests; call between train steps."""
-        for _ in range(max_requests):
-            if self._queue.empty():
+        """Render pending viewer requests; call between train steps.
+        While paused, keeps servicing renders and returns only on resume."""
+        import time as _time
+
+        while True:
+            for _ in range(max_requests):
+                if self._queue.empty():
+                    break
+                req = self._queue.get_nowait()
+                try:
+                    req["img"] = self._render(*req["args"])
+                except Exception as e:  # surface errors to the browser
+                    req["error"] = f"{type(e).__name__}: {e}"
+                req["event"].set()
+            if not self.paused:
                 return
-            req = self._queue.get_nowait()
-            try:
-                req["img"] = self._render(*req["args"])
-            except Exception as e:  # surface errors to the browser
-                req["error"] = f"{type(e).__name__}: {e}"
-            req["event"].set()
+            _time.sleep(0.05)
 
     def serve_idle(self) -> None:
         """Service loop for view-only sessions (no training)."""
@@ -326,6 +356,52 @@ def _make_handler(state: ViewerState):
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
+
+            def send_json(payload):
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+            if self.path == "/control":
+                # pause/resume training (reference viewer_utils.py:365-380)
+                action = req.get("action", "toggle")
+                if action == "pause":
+                    state.paused = True
+                elif action == "resume":
+                    state.paused = False
+                else:
+                    state.paused = not state.paused
+                send_json({"paused": state.paused})
+                return
+            if self.path == "/export_cmd":
+                # export panel: compose the sst-export command for the live
+                # run (reference viewer export tab, app/.../ExportPanel)
+                kind = req.get("kind", "pointcloud")
+                res = int(req.get("resolution", 256))
+                cfg = Path(state.trainer.base_dir) / "config.yml"
+                out = Path(state.trainer.base_dir) / "exports" / kind
+                if kind == "texture":
+                    mesh = out.parent / "marching-cubes" / "mc_mesh.ply"
+                    cmd = (
+                        f"sst-export marching-cubes --load-config {cfg} "
+                        f"--output-dir {mesh.parent} --resolution {res} && "
+                        f"sst-texture --load-config {cfg} --input-mesh {mesh} "
+                        f"--output-dir {out}"
+                    )
+                elif kind == "pointcloud":
+                    cmd = (
+                        f"sst-export pointcloud --load-config {cfg} "
+                        f"--output-dir {out} --num-points 1000000"
+                    )
+                else:
+                    cmd = (
+                        f"sst-export {kind} --load-config {cfg} "
+                        f"--output-dir {out} --resolution {res}"
+                    )
+                send_json({"command": cmd})
+                return
             if self.path == "/save_path":
                 out, cmd = save_camera_path(
                     req["keyframes"],

@@ -1,0 +1,54 @@
+"""Trace-time shape validation (utils/checks.py) fires on malformed ray
+structures and stays silent on valid ones — including under jit."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdfstudio_tpu.core.rays import RayBundle
+from sdfstudio_tpu.utils import checks
+
+
+def _bundle(r=4, bad_pixel_area=False):
+    return RayBundle(
+        origins=jnp.zeros((r, 3)),
+        directions=jnp.ones((r, 3)),
+        pixel_area=jnp.ones((r,) if bad_pixel_area else (r, 1)),
+        nears=jnp.zeros((r, 1)),
+        fars=jnp.ones((r, 1)),
+    )
+
+
+def test_valid_bundle_passes():
+    rb = _bundle()
+    bins = jnp.linspace(0, 1, 9)[None, :].repeat(4, axis=0)
+    rs = rb.get_ray_samples(bins)
+    assert rs.num_samples == 8
+
+
+def test_bad_pixel_area_raises_at_trace_time():
+    rb = _bundle(bad_pixel_area=True)
+    bins = jnp.linspace(0, 1, 9)[None, :].repeat(4, axis=0)
+
+    @jax.jit
+    def go(rb):
+        return rb.get_ray_samples(bins).starts
+
+    with pytest.raises(ValueError, match="pixel_area"):
+        go(rb)
+
+
+def test_mismatched_bins_raise():
+    rb = _bundle(r=4)
+    bins = jnp.linspace(0, 1, 9)[None, :].repeat(3, axis=0)  # 3 rays != 4
+    with pytest.raises(ValueError):
+        rb.get_ray_samples(bins)
+
+
+def test_disable_flag():
+    checks.ENABLED = False
+    try:
+        rb = _bundle(bad_pixel_area=True)
+        bins = jnp.linspace(0, 1, 9)[None, :].repeat(4, axis=0)
+        rb.get_ray_samples(bins)  # no raise
+    finally:
+        checks.ENABLED = True

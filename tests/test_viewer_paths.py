@@ -65,3 +65,71 @@ def test_path_interpolates_through_keyframes(keyframes, tmp_path):
     # endpoints hit the first/last keyframes exactly
     np.testing.assert_allclose(first[:3, 3], orbit_center(keyframes[0]), atol=1e-6)
     np.testing.assert_allclose(last[:3, 3], orbit_center(keyframes[-1]), atol=1e-6)
+
+
+def test_viewer_control_and_export_endpoints(tmp_path):
+    """Pause/resume + export-panel endpoints through a live HTTP server."""
+    import threading
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    from sdfstudio_tpu.viewer.server import ViewerState, _make_handler
+
+    class FakeTrainer:
+        base_dir = tmp_path
+
+    state = ViewerState(FakeTrainer())
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=json.dumps(payload).encode()
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    try:
+        assert post("/control", {"action": "pause"}) == {"paused": True}
+        assert state.paused
+        assert post("/control", {"action": "toggle"}) == {"paused": False}
+
+        cmd = post("/export_cmd", {"kind": "poisson", "resolution": 128})["command"]
+        assert "sst-export poisson" in cmd and "--resolution 128" in cmd
+        assert str(tmp_path / "config.yml") in cmd
+
+        tex = post("/export_cmd", {"kind": "texture", "resolution": 64})["command"]
+        assert "sst-texture" in tex and "--input-mesh" in tex
+        assert "sst-export marching-cubes" in tex  # mesh produced first
+
+        pc = post("/export_cmd", {"kind": "pointcloud"})["command"]
+        assert "--num-points" in pc
+    finally:
+        server.shutdown()
+
+
+def test_viewer_service_blocks_while_paused(tmp_path):
+    """service() must not return to the train loop while paused."""
+    import threading
+    import time
+
+    from sdfstudio_tpu.viewer.server import ViewerState
+
+    class FakeTrainer:
+        base_dir = tmp_path
+
+    state = ViewerState(FakeTrainer())
+    state.paused = True
+    returned = threading.Event()
+
+    def run():
+        state.service()
+        returned.set()
+
+    threading.Thread(target=run, daemon=True).start()
+    time.sleep(0.3)
+    assert not returned.is_set()  # still paused -> still blocked
+    state.paused = False
+    assert returned.wait(timeout=5.0)
