@@ -127,3 +127,13 @@ def test_mono_depth_loss_any_batch_size(sphere_data, tmp_path):
     trainer.state, metrics = trainer._train_step(trainer.state)
     vals = trainer.unpack_metrics(metrics)
     assert "depth_loss" in vals and np.isfinite(vals["depth_loss"])
+
+
+@pytest.mark.slow
+def test_fullsize_sharded_compile():
+    """The FULL deployment-scale step (2048 rays, 2^19 tables) must
+    partition and compile over the 8-device mesh — not just the tiny
+    dryrun shapes (AOT compile only; execution would be CPU-minutes)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8, full_size=True)
