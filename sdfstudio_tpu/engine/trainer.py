@@ -72,7 +72,12 @@ class TrainerConfig:
     claimed ~1ms/step); scanning K steps per call amortizes it K-fold.
     0 = auto (10 on TPU backends, 1 on CPU). K>~16 faults this TPU
     stack's compiler ("TPU device error" on scan-25/100 of the neus-facto
-    step; scan-5/10/16 fine), so auto stays at 10."""
+    step; scan-5/10/16 fine), so auto stays at 10. An in-process startup
+    auto-probe is deliberately NOT done: probing would load extra
+    executables into the device program cache, which permanently degrades
+    every subsequent train step on this deployment (docs/tpu-design.md) —
+    probe offline with scripts/benchmarking/probe_scan_k.py and set this
+    explicitly if a model tolerates a larger K."""
 
 
 @struct.dataclass

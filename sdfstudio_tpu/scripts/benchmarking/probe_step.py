@@ -44,6 +44,8 @@ def main() -> None:
                     help="SDF geo/color MLP width")
     ap.add_argument("--log2-hashmap", type=int, default=None,
                     help="SDF hash table log2 size")
+    ap.add_argument("--encoding", default=None,
+                    help="SDF field encoding_type override (hash | permuto | ...)")
     ap.add_argument("--analyze", action="store_true",
                     help="compile-only: print XLA cost analysis (flops, bytes "
                          "accessed) of the 1-step program and dump optimized "
@@ -82,6 +84,8 @@ def main() -> None:
         field_over["hidden_dim_color"] = args.hidden_dim
     if args.log2_hashmap is not None:
         field_over["log2_hashmap_size"] = args.log2_hashmap
+    if args.encoding is not None:
+        field_over["encoding_type"] = args.encoding
     model_over = {}
     if field_over and hasattr(config.model, "sdf_field"):
         model_over["sdf_field"] = dataclasses.replace(config.model.sdf_field, **field_over)
