@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--prop-samples", type=str, default=None,
                     help="comma list, e.g. 128,48")
     ap.add_argument("--num-levels", type=int, default=None)
+    ap.add_argument("--features-per-level", type=int, default=None,
+                    help="SDF hash/permuto features per level (trade levels "
+                         "for features at equal capacity: L4xF4 halves the "
+                         "gather count of L8xF2)")
     ap.add_argument("--hidden-dim", type=int, default=None,
                     help="SDF geo/color MLP width")
     ap.add_argument("--log2-hashmap", type=int, default=None,
@@ -79,6 +83,8 @@ def main() -> None:
         field_over["use_grid_feature"] = False
     if args.num_levels is not None:
         field_over["num_levels"] = args.num_levels
+    if args.features_per_level is not None:
+        field_over["hash_features_per_level"] = args.features_per_level
     if args.hidden_dim is not None:
         field_over["hidden_dim"] = args.hidden_dim
         field_over["hidden_dim_color"] = args.hidden_dim
