@@ -200,6 +200,26 @@ def read_images_text(path: Path) -> Dict[int, ColmapImage]:
     return images
 
 
+def read_points3d_text(path: Path) -> Dict[int, ColmapPoint3D]:
+    """POINT3D_ID X Y Z R G B ERROR (IMAGE_ID POINT2D_IDX)*"""
+    points = {}
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        elems = line.split()
+        pid = int(elems[0])
+        track = np.array(elems[8:], dtype=np.int64).reshape(-1, 2)
+        points[pid] = ColmapPoint3D(
+            pid,
+            np.array(elems[1:4], float),
+            np.array(elems[4:7], float),
+            float(elems[7]),
+            track[:, 0],
+            track[:, 1],
+        )
+    return points
+
+
 def read_model(sparse_dir: Path):
     """Auto-detect bin/txt model; returns (cameras, images, points or None)."""
     sparse_dir = Path(sparse_dir)

@@ -106,7 +106,9 @@ def read_ply(path: Path) -> TriMesh:
             if line == "end_header":
                 break
         nv = int([l for l in header if l.startswith("element vertex")][0].split()[-1])
-        nf = int([l for l in header if l.startswith("element face")][0].split()[-1])
+        face_el = [l for l in header if l.startswith("element face")]
+        # point clouds (e.g. exported sparse voxels) carry no face element
+        nf = int(face_el[0].split()[-1]) if face_el else 0
         vprops = []
         in_vertex = False
         for l in header:
