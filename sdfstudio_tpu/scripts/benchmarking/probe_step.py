@@ -50,6 +50,8 @@ def main() -> None:
                     help="SDF hash table log2 size")
     ap.add_argument("--encoding", default=None,
                     help="SDF field encoding_type override (hash | permuto | ...)")
+    ap.add_argument("--table-dtype", default=None,
+                    help="SDF hash/permuto table dtype (float32 | bfloat16)")
     ap.add_argument("--analyze", action="store_true",
                     help="compile-only: print XLA cost analysis (flops, bytes "
                          "accessed) of the 1-step program and dump optimized "
@@ -92,6 +94,8 @@ def main() -> None:
         field_over["log2_hashmap_size"] = args.log2_hashmap
     if args.encoding is not None:
         field_over["encoding_type"] = args.encoding
+    if args.table_dtype is not None:
+        field_over["hash_table_dtype"] = args.table_dtype
     model_over = {}
     if field_over and hasattr(config.model, "sdf_field"):
         model_over["sdf_field"] = dataclasses.replace(config.model.sdf_field, **field_over)
