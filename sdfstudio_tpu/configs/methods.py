@@ -280,7 +280,10 @@ method_configs["neus-facto-tpu"] = _surface_cfg(
         "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
         "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
     },
-    dict(max_num_iterations=20001, steps_per_eval_image=5000),
+    # steps_per_call=25: probe_scan_k verified K=16/25/40 compile+run for
+    # this preset (the full neus-facto program faults at K>=16); larger K
+    # amortizes the per-dispatch relay round trip further.
+    dict(max_num_iterations=20001, steps_per_eval_image=5000, steps_per_call=25),
     rays_per_batch=2048,
 )
 
