@@ -1,0 +1,202 @@
+"""Resumable quality-parity pipeline (docs/parity-protocol.md).
+
+Runs BOTH protocol arms — `neus-facto` (reference hyperparameters, the
+control) and `neus-facto-tpu` (the deployed TPU layout) — for 20k
+iterations on the procedural DTU-like scene, then evaluates held-out
+PSNR (scripts/eval.py) and Chamfer-L1 against the analytic GT SDF
+(eval_geometry --gt dtu-like) and writes the `PARITY.json` attestation
+that gates which config `bench.py` measures.
+
+The full protocol costs ~6 TPU-hours on one v5e chip (control arm
+~0.8 s/step), far more than one build round — so everything here is
+RESUMABLE and lives inside the repo (`.parity/`), surviving round
+boundaries via git:
+
+  * the scene is materialized once under `.parity/dtu_like`;
+  * training runs in segments (fresh process per segment — the relay
+    deployment constraint, scripts/train.py:207), each ending in a
+    packed checkpoint under `.parity/runs/...`;
+  * invoking this script again picks up each arm at its latest
+    checkpoint; `--budget-seconds` bounds how much work one invocation
+    does, so a build round can contribute a slice and commit.
+
+Functional spec: reference benchmark protocol README.md:83 (neus-facto,
+DTU scan65, 20k iters, PSNR + Chamfer-L1).
+
+Usage:
+    python -m sdfstudio_tpu.scripts.benchmarking.parity \
+        [--budget-seconds 1800] [--arms neus-facto-tpu,neus-facto]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[3]
+# The scene and checkpoints are committed to git so a later round resumes
+# bit-identically (the scene MUST NOT be regenerated on a new machine while
+# checkpoints reference it — BLAS differences could perturb renders).
+PARITY_DIR = Path(os.environ.get("SST_PARITY_DIR", REPO / ".parity"))
+DATA_DIR = PARITY_DIR / "dtu_like"
+RUNS_DIR = PARITY_DIR / "runs"
+# the bench-gating attestation goes to the repo root ONLY for the real
+# protocol; an isolated SST_PARITY_DIR (smoke tests) keeps it inside
+ATTESTATION = (
+    REPO / "PARITY.json"
+    if "SST_PARITY_DIR" not in os.environ
+    else PARITY_DIR / "PARITY.json"
+)
+ITERS = 20000
+NUM_RAYS = int(os.environ.get("SST_PARITY_RAYS", 2048))
+# pass criteria (docs/parity-protocol.md)
+PSNR_TOL_DB = 0.3
+CHAMFER_TOL = 0.10
+
+
+def ensure_scene() -> Path:
+    if not (DATA_DIR / "meta_data.json").exists():
+        print("[parity] materializing DTU-like scene...", flush=True)
+        from sdfstudio_tpu.data.synthetic_dtu import generate_dtu_like_dataset
+
+        # SST_PARITY_SCENE="n,res" shrinks the scene (smoke tests only)
+        n, res = (int(x) for x in os.environ.get("SST_PARITY_SCENE", "49,384").split(","))
+        generate_dtu_like_dataset(DATA_DIR, num_images=n, width=res, height=res)
+    return DATA_DIR
+
+
+def arm_base_dir(method: str) -> Path:
+    # Config.get_base_dir() layout: output/experiment/method/timestamp
+    return RUNS_DIR / "parity" / method / "parity"
+
+
+def ckpt_dir(method: str) -> Path:
+    return arm_base_dir(method) / "sdfstudio_models"
+
+
+def latest_step(method: str) -> int:
+    steps = [
+        int(p.name.split("-")[1])
+        for p in ckpt_dir(method).glob("step-*")
+        if (p / "step.txt").exists()
+    ]
+    return max(steps, default=0)
+
+
+def train_segment(method: str, end: int, resume: bool) -> None:
+    args = [
+        sys.executable, "-m", "sdfstudio_tpu.scripts.train", method,
+        "--experiment-name", "parity",
+        "--output-dir", str(RUNS_DIR),
+        "--timestamp", "parity",
+        "--vis", "none",
+        "--trainer.max-num-iterations", str(end),
+        "--trainer.defer-heavy-ops", "True",
+        "--trainer.steps-per-eval-image", "0",
+        "--datamanager.train-num-rays-per-batch", str(NUM_RAYS),
+    ]
+    if resume:
+        args += ["--trainer.load-dir", str(ckpt_dir(method))]
+    args += ["sdfstudio-data", "--data", str(DATA_DIR)]
+    env = dict(os.environ, SST_SEGMENT_CHILD="1")
+    t0 = time.time()
+    ret = subprocess.run(args, env=env, cwd=REPO).returncode
+    if ret != 0:
+        raise RuntimeError(f"[parity] segment for {method} failed (rc={ret})")
+    print(f"[parity] {method}: segment -> {end} done in {time.time() - t0:.0f}s", flush=True)
+
+
+def evaluate_arm(method: str) -> dict:
+    """PSNR on the eval split + Chamfer-L1 vs the analytic GT."""
+    base = arm_base_dir(method)
+    out = base / "parity_metrics.json"
+    if out.exists():
+        return json.loads(out.read_text())
+    psnr_json = base / "eval_metrics.json"
+    subprocess.run(
+        [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
+         "--load-config", str(base / "config.yml"),
+         "--output-path", str(psnr_json)],
+        check=True, cwd=REPO,
+    )
+    psnr = json.loads(psnr_json.read_text())["results"]
+    geo = subprocess.run(
+        [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
+         "--load-dir", str(ckpt_dir(method)),
+         "--method", method,
+         "--data", str(DATA_DIR),
+         "--gt", "dtu-like",
+         "--output-mesh", str(base / "mesh.ply")],
+        check=True, cwd=REPO, capture_output=True, text=True,
+    )
+    m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
+    if m is None:
+        print(geo.stdout[-2000:], geo.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"[parity] geometry eval for {method} produced no chamfer")
+    rec = {
+        "method": method,
+        "iters": latest_step(method),
+        "psnr": psnr["psnr"],
+        "ssim": psnr.get("ssim"),
+        "chamfer_l1": float(m.group(1)),
+    }
+    out.write_text(json.dumps(rec, indent=2))
+    print(f"[parity] {method}: {rec}", flush=True)
+    return rec
+
+
+def write_attestation(preset: dict, control: dict, iters: int) -> None:
+    ok_psnr = preset["psnr"] >= control["psnr"] - PSNR_TOL_DB
+    ok_chamfer = preset["chamfer_l1"] <= control["chamfer_l1"] * (1 + CHAMFER_TOL)
+    rec = {
+        "method": preset["method"],
+        "pass": bool(ok_psnr and ok_chamfer),
+        "preset": {"psnr": preset["psnr"], "chamfer_l1": preset["chamfer_l1"]},
+        "control": {"psnr": control["psnr"], "chamfer_l1": control["chamfer_l1"]},
+        "iters": iters,
+        "scene": "dtu_like",
+        "criteria": {"psnr_tol_db": PSNR_TOL_DB, "chamfer_tol": CHAMFER_TOL},
+    }
+    ATTESTATION.write_text(json.dumps(rec, indent=2))
+    print(f"[parity] attestation -> {ATTESTATION}: pass={rec['pass']}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--arms", default="neus-facto-tpu,neus-facto",
+                    help="comma list; preset first finishes the cheap arm early")
+    ap.add_argument("--segment", type=int, default=2500,
+                    help="steps per training segment (checkpoint granularity)")
+    ap.add_argument("--budget-seconds", type=float, default=None,
+                    help="stop launching segments after this much wall time "
+                         "(resume later; in-flight segments run to completion)")
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args = ap.parse_args()
+    arms = args.arms.split(",")
+    t_start = time.time()
+    ensure_scene()
+
+    results = {}
+    for method in arms:
+        while (start := latest_step(method)) < args.iters:
+            if args.budget_seconds and time.time() - t_start > args.budget_seconds:
+                print(f"[parity] budget exhausted at {method} step {start}; "
+                      f"re-run to resume", flush=True)
+                return
+            train_segment(method, min(start + args.segment, args.iters), resume=start > 0)
+        results[method] = evaluate_arm(method)
+
+    if len(arms) == 2 and all(m in results for m in arms):
+        # control is the reference-hyperparameter arm regardless of order
+        control = next((m for m in arms if m == "neus-facto"), arms[1])
+        preset = next(m for m in arms if m != control)
+        write_attestation(results[preset], results[control], args.iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Unit tests for the parity-attestation driver's pure logic
+(sdfstudio_tpu/scripts/benchmarking/parity.py; protocol in
+docs/parity-protocol.md). The full pipeline (segments, resume, eval) is
+exercised by the CPU smoke drive; these cover the decision logic that
+gates bench.py."""
+import importlib
+import json
+import sys
+
+
+def _load_parity(tmp_path, monkeypatch):
+    monkeypatch.setenv("SST_PARITY_DIR", str(tmp_path))
+    sys.modules.pop("sdfstudio_tpu.scripts.benchmarking.parity", None)
+    import sdfstudio_tpu.scripts.benchmarking.parity as parity
+
+    return importlib.reload(parity)
+
+
+def test_latest_step_picks_max_complete(tmp_path, monkeypatch):
+    parity = _load_parity(tmp_path, monkeypatch)
+    ck = parity.ckpt_dir("neus-facto")
+    for step, complete in [(10, True), (25, True), (40, False)]:
+        d = ck / f"step-{step:09d}"
+        d.mkdir(parents=True)
+        if complete:  # step.txt is written last by save_checkpoint
+            (d / "step.txt").write_text(str(step))
+    assert parity.latest_step("neus-facto") == 25
+    assert parity.latest_step("other-method") == 0
+
+
+def test_attestation_pass_and_fail(tmp_path, monkeypatch):
+    parity = _load_parity(tmp_path, monkeypatch)
+    control = {"method": "neus-facto", "psnr": 30.0, "chamfer_l1": 0.010}
+
+    good = {"method": "neus-facto-tpu", "psnr": 29.8, "chamfer_l1": 0.0105}
+    parity.write_attestation(good, control, iters=20000)
+    rec = json.loads(parity.ATTESTATION.read_text())
+    assert rec["pass"] and rec["method"] == "neus-facto-tpu"
+    assert rec["iters"] == 20000
+
+    # 0.5 dB below control -> fail even with better chamfer
+    bad = {"method": "neus-facto-tpu", "psnr": 29.5, "chamfer_l1": 0.008}
+    parity.write_attestation(bad, control, iters=20000)
+    assert not json.loads(parity.ATTESTATION.read_text())["pass"]
+
+    # chamfer 20% worse -> fail even with better psnr
+    bad2 = {"method": "neus-facto-tpu", "psnr": 30.5, "chamfer_l1": 0.012}
+    parity.write_attestation(bad2, control, iters=20000)
+    assert not json.loads(parity.ATTESTATION.read_text())["pass"]
+
+
+def test_attestation_isolated_from_repo_root(tmp_path, monkeypatch):
+    parity = _load_parity(tmp_path, monkeypatch)
+    # with SST_PARITY_DIR set, the attestation must NOT target the repo root
+    assert parity.ATTESTATION.parent == tmp_path
