@@ -164,7 +164,44 @@ def entrypoint(argv=None):
                         help="skip COLMAP even if the binary is present")
         sp.add_argument("--use-gpu", action="store_true")
         sp.add_argument("--verbose", action="store_true")
+    # capture-app importers (no SfM needed — poses come from the app);
+    # reference scripts/process_data.py:733 polycam/metashape/record3d modes
+    pp = sub.add_parser("polycam")
+    pp.add_argument("--data", type=Path, required=True,
+                    help="unzipped polycam export (contains keyframes/)")
+    pp.add_argument("--output-dir", type=Path, required=True)
+    pp.add_argument("--min-blur-score", type=float, default=25.0)
+    pp.add_argument("--crop-border-pixels", type=int, default=15)
+    pp.add_argument("--use-uncorrected-images", action="store_true")
+    pm = sub.add_parser("metashape")
+    pm.add_argument("--data", type=Path, required=True, help="image directory")
+    pm.add_argument("--xml", type=Path, required=True,
+                    help="metashape camera export (doc.xml)")
+    pm.add_argument("--output-dir", type=Path, required=True)
+    pr = sub.add_parser("record3d")
+    pr.add_argument("--data", type=Path, required=True,
+                    help="record3d capture dir (metadata + rgbd/)")
+    pr.add_argument("--output-dir", type=Path, required=True)
+    pr.add_argument("--max-dataset-size", type=int, default=300)
     a = p.parse_args(argv)
+
+    if a.cmd in ("polycam", "metashape", "record3d"):
+        from sdfstudio_tpu.scripts import importers
+
+        if a.cmd == "polycam":
+            importers.polycam_to_transforms(
+                a.data, a.output_dir,
+                min_blur_score=a.min_blur_score,
+                crop_border_pixels=a.crop_border_pixels,
+                use_uncorrected_images=a.use_uncorrected_images,
+            )
+        elif a.cmd == "metashape":
+            importers.metashape_to_transforms(a.xml, a.data, a.output_dir)
+        else:
+            importers.record3d_to_transforms(
+                a.data, a.output_dir, max_dataset_size=a.max_dataset_size
+            )
+        return
 
     out = Path(a.output_dir)
     out.mkdir(parents=True, exist_ok=True)
