@@ -27,6 +27,7 @@ from flax.core import FrozenDict
 import jax
 
 from sdfstudio_tpu.core.scene_box import SceneBox
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.ops.contraction import contract
 from sdfstudio_tpu.ops.density import trunc_exp
 from sdfstudio_tpu.ops.encodings import HashEncoding, NeRFEncoding
@@ -49,6 +50,7 @@ class HashMLPDensityFieldNet(nn.Module):
     @nn.compact
     def __call__(self, positions01: jnp.ndarray) -> jnp.ndarray:
         """positions01 in [0,1]^3 -> raw (pre-activation) density [...]."""
+        checks.check_positions(positions01, "HashMLPDensityField positions01")
         enc = HashEncoding(
             num_levels=self.num_levels,
             min_res=self.base_res,

@@ -16,6 +16,7 @@ from flax import linen as nn
 from flax.core import FrozenDict
 
 from sdfstudio_tpu.core.rays import RaySamples
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.core.scene_box import SceneBox
 from sdfstudio_tpu.ops.contraction import contract
 from sdfstudio_tpu.ops.density import trunc_exp
@@ -89,6 +90,7 @@ class NerfactoFieldNet(nn.Module):
             self.head_pred_normals = nn.Dense(3)
 
     def density_raw(self, positions01: jnp.ndarray):
+        checks.check_positions(positions01, "NerfactoField positions01")
         h = self.mlp_base(self.encoding(positions01))
         return h[..., 0], h[..., 1:]
 

@@ -20,6 +20,7 @@ from flax import linen as nn
 from flax.core import FrozenDict
 
 from sdfstudio_tpu.core.math import safe_normalize
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.core.rays import RaySamples
 from sdfstudio_tpu.ops import density as density_ops
 from sdfstudio_tpu.ops.contraction import contract
@@ -315,6 +316,7 @@ class SDFFieldNet(nn.Module):
         """SDF + geometric feature (reference forward_geonetwork,
         sdf_field.py:380-410). ``x`` are (possibly contracted) world
         positions in [-2, 2]; returns [..., 1 + geo_feat_dim]."""
+        checks.check_positions(x, "SDFField.geonetwork positions")
         feature, _ = self._grid_feature(x, hash_mask, want_jac=False)
         return self._geo_mlp(x, feature)
 

@@ -26,6 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from sdfstudio_tpu.core.math import components_from_spherical_harmonics, expected_sin
+from sdfstudio_tpu.utils import checks
 
 # Icosahedron projection matrix for mip-360 off-axis encoding
 # (reference encodings.py:129-153); stored transposed [3, 21].
@@ -357,6 +358,7 @@ class HashEncoding(nn.Module):
     def __call__(self, x: jnp.ndarray, want_jac: bool = False):
         """Encode ``x`` in [0,1]^3 -> [..., L*F]; with ``want_jac`` also
         return d(out)/dx [..., L*F, 3] from the same single gather."""
+        checks.check_positions(x, "HashEncoding positions")
         table = self.param(
             "hash_table",
             lambda key, shape: (jax.random.uniform(key, shape) * 2.0 - 1.0)

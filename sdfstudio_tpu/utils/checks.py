@@ -43,6 +43,22 @@ def assert_same_leading(name_a, a, name_b, b):
         )
 
 
+def check_positions(x, name: str = "positions", dim: int = 3):
+    """Fields-layer input contract: float array with last dim ``dim``.
+
+    Wrong trailing dims broadcast silently under jit into garbage encodings
+    (e.g. [N, 1] positions trilerp fine); this fires at trace time instead.
+    """
+    if x is None or not ENABLED:
+        return
+    if x.ndim < 1 or x.shape[-1] != dim:
+        raise ValueError(
+            f"{name}: expected trailing dim {dim}, got shape {tuple(x.shape)}"
+        )
+    if hasattr(x, "dtype") and x.dtype.kind != "f":
+        raise ValueError(f"{name}: expected float dtype, got {x.dtype}")
+
+
 def check_ray_bundle(rb):
     if not ENABLED:
         return

@@ -52,3 +52,21 @@ def test_disable_flag():
         rb.get_ray_samples(bins)  # no raise
     finally:
         checks.ENABLED = True
+
+
+def test_field_positions_checked():
+    """Fields-layer boundary: wrong trailing dim fails at TRACE time
+    (SURVEY §4 runtime-checking discipline)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from sdfstudio_tpu.ops.encodings import HashEncoding
+
+    enc = HashEncoding(num_levels=2, max_res=32, log2_hashmap_size=8)
+    bad = jnp.zeros((16, 2))  # trailing dim 2, not 3
+    with pytest.raises(ValueError, match="trailing dim 3"):
+        enc.init(jax.random.PRNGKey(0), bad)
+    badint = jnp.zeros((16, 3), jnp.int32)
+    with pytest.raises(ValueError, match="float dtype"):
+        enc.init(jax.random.PRNGKey(0), badint)
