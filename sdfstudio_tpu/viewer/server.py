@@ -30,8 +30,9 @@ body{margin:0;background:#111;color:#ddd;font-family:monospace}
 canvas{display:block;margin:auto;image-rendering:pixelated}
 select,button,input{background:#222;color:#ddd;border:1px solid #555;margin:1px}
 </style></head><body>
-<div id="hud">sdfstudio-tpu viewer &mdash; drag: orbit, wheel: zoom
+<div id="hud">sdfstudio-tpu viewer &mdash; drag: orbit, shift/right-drag: pan, wheel: zoom, WASD+QE: fly
  | output <select id="output"><option>rgb</option><option>depth</option><option>normal_vis</option><option>accumulation</option></select>
+ <label><input id="frusta" type="checkbox" checked> cameras</label>
  <span id="stats"></span></div>
 <div id="train" style="position:fixed;bottom:8px;left:8px;background:#0008;padding:6px 10px;border-radius:4px">
  <button id="pause">pause training</button>
@@ -49,52 +50,146 @@ select,button,input{background:#222;color:#ddd;border:1px solid #555;margin:1px}
  res <input id="pres" type="number" value="512" style="width:50px">
  <button id="exportkf">export render command</button>
  <div id="cmd"></div></div>
+<div style="position:relative;width:512px;margin:auto">
 <canvas id="c" width="512" height="512"></canvas>
+<canvas id="ov" width="512" height="512" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+</div>
 <script>
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
-let az = 0.8, el = 0.5, radius = 2.5, busy = false, dirty = true, lowres = true;
-let drag = null, keyframes = [], previewing = false;
-canvas.onmousedown = e => drag = [e.clientX, e.clientY];
-window.onmouseup = () => drag = null;
-window.onmousemove = e => { if (drag) { az += (e.clientX-drag[0])*0.01; el += (e.clientY-drag[1])*0.01;
-  el = Math.max(-1.5, Math.min(1.5, el)); drag=[e.clientX,e.clientY]; dirty=true; lowres=true; } };
+const ov = document.getElementById('ov').getContext('2d');
+// free camera = movable pivot + orbit around it (spans all 6 DoF but roll)
+let az = 0.8, el = 0.5, radius = 2.5, pivot = [0,0,0];
+let busy = false, dirty = true, lowres = true;
+let drag = null, pan = null, keyframes = [], previewing = false, scene = null;
+// ---- pose math (matches cameras/camera_utils.py viewmatrix: z = -view) --
+function camAxes(){
+  const ce = Math.cos(el), se = Math.sin(el), ca = Math.cos(az), sa = Math.sin(az);
+  const eye = [pivot[0]+radius*ca*ce, pivot[1]+radius*sa*ce, pivot[2]+radius*se];
+  let z = [eye[0]-pivot[0], eye[1]-pivot[1], eye[2]-pivot[2]]; // backward
+  const nz = Math.hypot(...z); z = z.map(v=>v/nz);
+  const up = [0,0,1];
+  let x = [up[1]*z[2]-up[2]*z[1], up[2]*z[0]-up[0]*z[2], up[0]*z[1]-up[1]*z[0]];
+  const nx = Math.hypot(...x) || 1; x = x.map(v=>-v/nx);  // right
+  const y = [z[1]*x[2]-z[2]*x[1], z[2]*x[0]-z[0]*x[2], z[0]*x[1]-z[1]*x[0]];
+  return {eye, x, y, z};
+}
+function c2wFlat(){
+  const a = camAxes();
+  return [a.x[0],a.y[0],a.z[0],a.eye[0], a.x[1],a.y[1],a.z[1],a.eye[1],
+          a.x[2],a.y[2],a.z[2],a.eye[2]];
+}
+function mat3ToQuatWxyz(x,y,z){ // columns x,y,z
+  const m = [[x[0],y[0],z[0]],[x[1],y[1],z[1]],[x[2],y[2],z[2]]];
+  const tr = m[0][0]+m[1][1]+m[2][2];
+  let w,qx,qy,qz;
+  if (tr > 0){ const s = Math.sqrt(tr+1)*2; w=s/4; qx=(m[2][1]-m[1][2])/s;
+    qy=(m[0][2]-m[2][0])/s; qz=(m[1][0]-m[0][1])/s; }
+  else if (m[0][0]>m[1][1] && m[0][0]>m[2][2]){ const s=Math.sqrt(1+m[0][0]-m[1][1]-m[2][2])*2;
+    w=(m[2][1]-m[1][2])/s; qx=s/4; qy=(m[0][1]+m[1][0])/s; qz=(m[0][2]+m[2][0])/s; }
+  else if (m[1][1]>m[2][2]){ const s=Math.sqrt(1+m[1][1]-m[0][0]-m[2][2])*2;
+    w=(m[0][2]-m[2][0])/s; qx=(m[0][1]+m[1][0])/s; qy=s/4; qz=(m[1][2]+m[2][1])/s; }
+  else { const s=Math.sqrt(1+m[2][2]-m[0][0]-m[1][1])*2;
+    w=(m[1][0]-m[0][1])/s; qx=(m[0][2]+m[2][0])/s; qy=(m[1][2]+m[2][1])/s; qz=s/4; }
+  return [w,qx,qy,qz];
+}
+// ---- controls ----
+canvas.onmousedown = e => { if (e.button===2 || e.shiftKey) pan=[e.clientX,e.clientY];
+  else drag=[e.clientX,e.clientY]; };
+canvas.oncontextmenu = e => e.preventDefault();
+window.onmouseup = () => { drag=null; pan=null; };
+window.onmousemove = e => {
+  if (drag){ az += (e.clientX-drag[0])*0.01; el += (e.clientY-drag[1])*0.01;
+    el = Math.max(-1.5, Math.min(1.5, el)); drag=[e.clientX,e.clientY]; dirty=true; lowres=true; }
+  if (pan){ const a = camAxes(); const s = radius*0.002;
+    const dx = (e.clientX-pan[0])*s, dy = (e.clientY-pan[1])*s;
+    for (let k=0;k<3;k++) pivot[k] += -a.x[k]*dx + a.y[k]*dy;
+    pan=[e.clientX,e.clientY]; dirty=true; lowres=true; }
+};
 canvas.onwheel = e => { radius *= Math.exp(e.deltaY*0.001); dirty=true; lowres=true; e.preventDefault(); };
+window.onkeydown = e => {
+  const a = camAxes(); const s = radius*0.08; let mv = null;
+  if (e.key==='w') mv = a.z.map(v=>-v*s); if (e.key==='s') mv = a.z.map(v=>v*s);
+  if (e.key==='a') mv = a.x.map(v=>-v*s); if (e.key==='d') mv = a.x.map(v=>v*s);
+  if (e.key==='q') mv = [0,0,-s];         if (e.key==='e') mv = [0,0,s];
+  if (mv){ for (let k=0;k<3;k++) pivot[k]+=mv[k]; dirty=true; lowres=true; }
+};
 document.getElementById('output').onchange = () => { dirty=true; lowres=true; };
+// ---- keyframes: full 6-DoF poses (position + quaternion) ----
 function refreshKf(){
   const ol = document.getElementById('kflist'); ol.innerHTML='';
   keyframes.forEach((k,i)=>{ const li=document.createElement('li');
-    li.textContent = 'az='+k.azimuth.toFixed(2)+' el='+k.elevation.toFixed(2)+' r='+k.radius.toFixed(2)+' ';
+    li.textContent = 'p=['+k.position.map(v=>v.toFixed(2)).join(',')+'] ';
     const go=document.createElement('button'); go.textContent='go';
-    go.onclick=()=>{az=k.azimuth; el=k.elevation; radius=k.radius; dirty=true; lowres=true;};
+    go.onclick=()=>{az=k.view.az; el=k.view.el; radius=k.view.radius;
+      pivot=k.view.pivot.slice(); dirty=true; lowres=true;};
     const rm=document.createElement('button'); rm.textContent='x';
     rm.onclick=()=>{keyframes.splice(i,1); refreshKf();};
     li.appendChild(go); li.appendChild(rm); ol.appendChild(li); });
 }
 document.getElementById('addkf').onclick = () => {
-  keyframes.push({azimuth: az, elevation: el, radius: radius}); refreshKf(); };
+  const a = camAxes();
+  keyframes.push({position: a.eye, quaternion_wxyz: mat3ToQuatWxyz(a.x,a.y,a.z),
+                  view: {az:az, el:el, radius:radius, pivot:pivot.slice()}});
+  refreshKf(); };
 document.getElementById('clearkf').onclick = () => { keyframes=[]; refreshKf(); };
-// catmull-rom in (az, el, radius) — must match the server's interpolation
-function cr(p0,p1,p2,p3,t){ return 0.5*((2*p1)+(-p0+p2)*t+(2*p0-5*p1+4*p2-p3)*t*t+(-p0+3*p1-3*p2+p3)*t*t*t); }
-function samplePath(u){
-  const n = keyframes.length; const s = u*(n-1);
-  const i = Math.min(Math.floor(s), n-2); const t = s-i;
-  const idx = j => Math.max(0, Math.min(n-1, j));
-  const out = {};
-  for (const k of ['azimuth','elevation','radius'])
-    out[k] = cr(keyframes[idx(i-1)][k], keyframes[i][k], keyframes[idx(i+1)][k], keyframes[idx(i+2)][k], t);
-  return out;
-}
 document.getElementById('preview').onclick = async () => {
   if (keyframes.length < 2 || previewing) return;
   previewing = true;
+  const saved = {az:az, el:el, radius:radius, pivot:pivot.slice()};
   for (let f = 0; f <= 40; f++) {
-    const p = samplePath(f/40); az=p.azimuth; el=p.elevation; radius=p.radius;
+    // preview by stepping through the stored views (server slerps exactly;
+    // the view interpolation here is an approximation for preview only)
+    const u = f/40, n = keyframes.length, s = u*(n-1);
+    const i = Math.min(Math.floor(s), n-2), t = s-i;
+    const v0 = keyframes[i].view, v1 = keyframes[i+1].view;
+    az = v0.az + (v1.az-v0.az)*t; el = v0.el + (v1.el-v0.el)*t;
+    radius = v0.radius + (v1.radius-v0.radius)*t;
+    pivot = v0.pivot.map((p,k)=>p+(v1.pivot[k]-p)*t);
     dirty=true; lowres=true;
     await new Promise(r=>setTimeout(r, 120));
   }
+  az=saved.az; el=saved.el; radius=saved.radius; pivot=saved.pivot;
   previewing = false;
 };
+// ---- dataset camera frusta overlay (init_scene analog) ----
+fetch('/scene').then(r=>r.json()).then(d=>{ scene=d; drawOverlay(); }).catch(()=>{});
+function project(p){ // world point -> overlay pixel (pinhole, focal=0.9*W)
+  const a = camAxes();
+  const d = [p[0]-a.eye[0], p[1]-a.eye[1], p[2]-a.eye[2]];
+  const cx = d[0]*a.x[0]+d[1]*a.x[1]+d[2]*a.x[2];
+  const cy = d[0]*a.y[0]+d[1]*a.y[1]+d[2]*a.y[2];
+  const cz = d[0]*a.z[0]+d[1]*a.z[1]+d[2]*a.z[2];
+  if (cz > -1e-6) return null; // behind camera (camera looks down -z)
+  const f = 0.9*512;
+  return [256 + f*cx/(-cz), 256 - f*cy/(-cz)];
+}
+function drawOverlay(){
+  ov.clearRect(0,0,512,512);
+  if (!scene || !document.getElementById('frusta').checked) return;
+  ov.strokeStyle = '#4af'; ov.lineWidth = 1;
+  for (const cam of scene.cameras){
+    const m = cam.c2w; // row-major 3x4 (or 4x4)
+    const o = [m[3], m[7], m[11]];
+    const scale = 0.08;
+    const zf = cam.fx/cam.w; // frustum depth per half-width
+    const corners = [[-1,-1],[1,-1],[1,1],[-1,1]].map(([u,v])=>{
+      const x = u*scale, y = v*scale*cam.h/cam.w, z = -2*zf*scale;
+      return [m[0]*x+m[1]*y+m[2]*z+o[0], m[4]*x+m[5]*y+m[6]*z+o[1],
+              m[8]*x+m[9]*y+m[10]*z+o[2]]; });
+    const po = project(o), pc = corners.map(project);
+    if (!po || pc.some(p=>!p)) continue;
+    ov.beginPath();
+    for (let i=0;i<4;i++){ ov.moveTo(po[0],po[1]); ov.lineTo(pc[i][0],pc[i][1]);
+      ov.lineTo(pc[(i+1)%4][0],pc[(i+1)%4][1]); }
+    ov.stroke();
+  }
+  // keyframe markers
+  ov.fillStyle = '#fa4';
+  for (const k of keyframes){ const p = project(k.position);
+    if (p) ov.fillRect(p[0]-3, p[1]-3, 6, 6); }
+}
+document.getElementById('frusta').onchange = drawOverlay;
 document.getElementById('pause').onclick = async () => {
   const r = await fetch('/control', {method:'POST', body: JSON.stringify({action:'toggle'})});
   const data = await r.json();
@@ -125,12 +220,13 @@ async function loop(){
     const t0 = performance.now();
     try {
       const r = await fetch('/render', {method:'POST', body: JSON.stringify({
-        azimuth: az, elevation: el, radius: radius, width: res, height: res,
+        c2w: c2wFlat(), width: res, height: res,
         output: document.getElementById('output').value})});
       const blob = await r.blob();
       const img = await createImageBitmap(blob);
       ctx.imageSmoothingEnabled = false;
       ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+      drawOverlay();
       document.getElementById('stats').textContent =
         ' | ' + res + 'px in ' + Math.round(performance.now()-t0) + 'ms';
       if (wasLow) { lowres = false; dirty = true; }
@@ -166,9 +262,11 @@ class ViewerState:
         self.paused = False
 
     # ---------------- HTTP-thread side ----------------
-    def render_pose(self, azimuth, elevation, radius, width, height, output="rgb"):
+    def render_pose(
+        self, azimuth, elevation, radius, width, height, output="rgb", c2w=None
+    ):
         req = {
-            "args": (azimuth, elevation, radius, width, height, output),
+            "args": (azimuth, elevation, radius, width, height, output, c2w),
             "event": threading.Event(),
         }
         self._queue.put(req)
@@ -206,23 +304,29 @@ class ViewerState:
             self.service()
             _time.sleep(0.02)
 
-    def _render(self, azimuth, elevation, radius, width, height, output="rgb"):
+    def _render(
+        self, azimuth, elevation, radius, width, height, output="rgb", c2w=None
+    ):
         import jax
         import jax.numpy as jnp
 
         from sdfstudio_tpu.cameras.cameras import Cameras
         from sdfstudio_tpu.cameras.camera_utils import viewmatrix
 
-        center = np.array(
-            [
-                radius * np.cos(azimuth) * np.cos(elevation),
-                radius * np.sin(azimuth) * np.cos(elevation),
-                radius * np.sin(elevation),
-            ]
-        )
-        lookat = center  # towards origin
-        up = np.array([0.0, 0.0, 1.0])
-        pose = viewmatrix(-lookat, up, center)[None]
+        if c2w is not None:
+            # free 6-DoF pose from the browser (row-major 3x4 or 4x4)
+            pose = np.asarray(c2w, dtype=np.float64).reshape(-1, 4)[:3][None]
+        else:
+            center = np.array(
+                [
+                    radius * np.cos(azimuth) * np.cos(elevation),
+                    radius * np.sin(azimuth) * np.cos(elevation),
+                    radius * np.sin(elevation),
+                ]
+            )
+            lookat = center  # towards origin
+            up = np.array([0.0, 0.0, 1.0])
+            pose = viewmatrix(-lookat, up, center)[None]
         focal = 0.9 * width
         cams = Cameras.create(
             camera_to_worlds=pose,
@@ -297,32 +401,69 @@ def _orbit_pose(azimuth, elevation, radius):
     return viewmatrix(-center, up, center)
 
 
-def save_camera_path(keyframes, fps, seconds, render_width, render_height, base_dir):
-    """Interpolate orbit keyframes (Catmull-Rom in az/el/radius) into the
-    viewer camera-path JSON consumed by ``sst-render --traj filename``
-    (camera_paths.get_path_from_json; the reference's most-used viewer
-    feature, viewer_utils.py:208+ / scripts/render.py). Returns the
-    ready-to-run command string."""
-    num_frames = max(int(fps * seconds), 2)
+def _interp_pose_keyframes(keyframes, num_frames):
+    """Free 6-DoF keyframes {position, quaternion_wxyz} -> per-frame 4x4
+    c2w: Catmull-Rom on positions, piecewise slerp on orientations
+    (reference viewer app camera-path editor semantics,
+    app/src/modules/CameraPanel; slerp via cameras/camera_utils.py:79)."""
+    from sdfstudio_tpu.cameras.camera_utils import quaternion_matrix, quaternion_slerp
+
     n = len(keyframes)
-    cams = []
-    fov = 2 * np.degrees(np.arctan(0.5 / 0.9))  # focal = 0.9*h, matches _render
+    pos = np.asarray([k["position"] for k in keyframes], dtype=np.float64)
+    quat = np.asarray([k["quaternion_wxyz"] for k in keyframes], dtype=np.float64)
+    out = []
     for f in range(num_frames):
         u = f / (num_frames - 1)
         s = u * (n - 1)
         i = min(int(s), n - 2)
         t = s - i
+        idx = lambda j: max(0, min(n - 1, j))  # noqa: E731
+        p = _catmull_rom(pos[idx(i - 1)], pos[i], pos[idx(i + 1)], pos[idx(i + 2)], t)
+        q = quaternion_slerp(quat[i], quat[idx(i + 1)], float(t))
+        c2w = quaternion_matrix(q)
+        c2w[:3, 3] = p
+        out.append(c2w)
+    return out
 
-        def kf(j, key):
-            return keyframes[max(0, min(n - 1, j))][key]
 
-        vals = {
-            key: _catmull_rom(kf(i - 1, key), kf(i, key), kf(i + 1, key), kf(i + 2, key), t)
-            for key in ("azimuth", "elevation", "radius")
-        }
-        c2w = np.eye(4)
-        c2w[:3] = _orbit_pose(vals["azimuth"], vals["elevation"], vals["radius"])
-        cams.append({"camera_to_world": c2w.flatten().tolist(), "fov": float(fov)})
+def save_camera_path(keyframes, fps, seconds, render_width, render_height, base_dir):
+    """Interpolate keyframes into the viewer camera-path JSON consumed by
+    ``sst-render --traj filename`` (camera_paths.get_path_from_json; the
+    reference's most-used viewer feature, viewer_utils.py:208+ /
+    scripts/render.py). Two keyframe flavors:
+
+    * free 6-DoF: {"position": [3], "quaternion_wxyz": [4]} — Catmull-Rom
+      positions + slerp orientations (what the browser editor now records);
+    * legacy orbit: {"azimuth", "elevation", "radius"} — Catmull-Rom in
+      orbit coordinates, camera looks at the origin.
+
+    Returns (path, ready-to-run command string)."""
+    num_frames = max(int(fps * seconds), 2)
+    n = len(keyframes)
+    cams = []
+    fov = 2 * np.degrees(np.arctan(0.5 / 0.9))  # focal = 0.9*h, matches _render
+    if "position" in keyframes[0]:
+        for c2w in _interp_pose_keyframes(keyframes, num_frames):
+            cams.append({"camera_to_world": c2w.flatten().tolist(), "fov": float(fov)})
+    else:
+        for f in range(num_frames):
+            u = f / (num_frames - 1)
+            s = u * (n - 1)
+            i = min(int(s), n - 2)
+            t = s - i
+
+            def kf(j, key):
+                return keyframes[max(0, min(n - 1, j))][key]
+
+            vals = {
+                key: _catmull_rom(
+                    kf(i - 1, key), kf(i, key), kf(i + 1, key), kf(i + 2, key), t
+                )
+                for key in ("azimuth", "elevation", "radius")
+            }
+            c2w = np.eye(4)
+            c2w[:3] = _orbit_pose(vals["azimuth"], vals["elevation"], vals["radius"])
+            cams.append({"camera_to_world": c2w.flatten().tolist(), "fov": float(fov)})
     path = {
         "render_height": int(render_height),
         "render_width": int(render_width),
@@ -348,6 +489,34 @@ def _make_handler(state: ViewerState):
             pass
 
         def do_GET(self):
+            if self.path == "/scene":
+                # dataset camera frusta for the scene overlay — the analog
+                # of the reference's init_scene message that populates the
+                # three.js scene with training cameras
+                # (viewer_utils.py:300-420)
+                payload = {"cameras": []}
+                dm = getattr(state.trainer, "datamanager", None)
+                cams = getattr(dm, "train_cameras", None) if dm else None
+                if cams is not None:
+                    c2ws = np.asarray(cams.camera_to_worlds)
+                    fx = np.asarray(cams.fx).reshape(-1)
+                    w = np.asarray(cams.width).reshape(-1)
+                    h = np.asarray(cams.height).reshape(-1)
+                    for i in range(c2ws.shape[0]):
+                        payload["cameras"].append(
+                            {
+                                "c2w": c2ws[i].reshape(-1).tolist(),
+                                "fx": float(fx[min(i, fx.size - 1)]),
+                                "w": int(w[min(i, w.size - 1)]),
+                                "h": int(h[min(i, h.size - 1)]),
+                            }
+                        )
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.end_headers()
@@ -424,6 +593,7 @@ def _make_handler(state: ViewerState):
                 int(req.get("width", 128)),
                 int(req.get("height", 128)),
                 req.get("output", "rgb"),
+                c2w=req.get("c2w"),
             )
             import imageio.v2 as imageio
 

@@ -133,3 +133,84 @@ def test_viewer_service_blocks_while_paused(tmp_path):
     assert not returned.is_set()  # still paused -> still blocked
     state.paused = False
     assert returned.wait(timeout=5.0)
+
+
+def test_save_camera_path_pose_keyframes(tmp_path):
+    """Free 6-DoF keyframes: slerp orientations + Catmull-Rom positions
+    (reference viewer app camera-path editor; VERDICT r2 item 7)."""
+    from sdfstudio_tpu.cameras.camera_utils import (
+        quaternion_from_matrix,
+        viewmatrix,
+    )
+
+    def pose_kf(eye, lookat):
+        c2w = np.eye(4)
+        c2w[:3] = viewmatrix(np.asarray(lookat) - np.asarray(eye),
+                             np.array([0.0, 0.0, 1.0]), np.asarray(eye))
+        return {
+            "position": list(map(float, eye)),
+            "quaternion_wxyz": quaternion_from_matrix(c2w).tolist(),
+        }, c2w
+
+    kf0, c2w0 = pose_kf([2.0, 0.0, 1.0], [0, 0, 0])
+    kf1, c2w1 = pose_kf([0.0, 2.5, 0.5], [0.2, 0, 0])
+    kf2, c2w2 = pose_kf([-2.0, 0.5, 1.5], [0, 0.1, 0])
+
+    out, cmd = save_camera_path(
+        [kf0, kf1, kf2], fps=10, seconds=2, render_width=32, render_height=32,
+        base_dir=tmp_path,
+    )
+    data = json.loads(out.read_text())
+    assert len(data["camera_path"]) == 20
+    first = np.asarray(data["camera_path"][0]["camera_to_world"]).reshape(4, 4)
+    last = np.asarray(data["camera_path"][-1]["camera_to_world"]).reshape(4, 4)
+    # endpoints reproduce the keyframe poses exactly (position AND rotation)
+    np.testing.assert_allclose(first, c2w0, atol=1e-9)
+    np.testing.assert_allclose(last, c2w2, atol=1e-9)
+    # every interpolated rotation stays orthonormal (valid slerp output)
+    for cam in data["camera_path"]:
+        r = np.asarray(cam["camera_to_world"]).reshape(4, 4)[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+    # loads into renderable Cameras through the sst-render path
+    cams = get_path_from_json(data)
+    assert cams.num_cameras == 20
+
+
+def test_scene_endpoint_serves_train_cameras(tmp_path):
+    """/scene returns dataset camera frusta (init_scene analog,
+    reference viewer_utils.py:300-420)."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from sdfstudio_tpu.cameras.cameras import Cameras
+    from sdfstudio_tpu.viewer.server import ViewerState, _make_handler
+
+    poses = np.tile(np.eye(4)[:3], (3, 1, 1)).astype(np.float32)
+    poses[:, 2, 3] = [1.0, 2.0, 3.0]
+    cams = Cameras.create(
+        camera_to_worlds=poses, fx=50.0, fy=50.0, cx=32.0, cy=24.0,
+        width=64, height=48,
+    )
+
+    class FakeDM:
+        train_cameras = cams
+
+    class FakeTrainer:
+        base_dir = tmp_path
+        datamanager = FakeDM()
+
+    state = ViewerState(FakeTrainer())
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/scene", timeout=10) as r:
+            data = json.loads(r.read())
+        assert len(data["cameras"]) == 3
+        assert data["cameras"][0]["fx"] == 50.0
+        assert data["cameras"][0]["w"] == 64
+        c2w = np.asarray(data["cameras"][1]["c2w"]).reshape(-1, 4)
+        assert c2w[2, 3] == 2.0
+    finally:
+        server.shutdown()
