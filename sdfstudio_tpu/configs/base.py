@@ -20,6 +20,9 @@ from sdfstudio_tpu.engine.optimizers import OptimizerGroupConfig
 from sdfstudio_tpu.engine.trainer import TrainerConfig
 from sdfstudio_tpu.parallel.multihost import MachineConfig
 
+# repo root: configs/base.py -> sdfstudio_tpu -> repo
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
 
 def _machine_config() -> MachineConfig:
     return MachineConfig()
@@ -75,7 +78,13 @@ class Config:
                     d[f.name] = ser(getattr(obj, f.name))
                 return d
             if isinstance(obj, Path):
-                return {"__path__": str(obj)}
+                # store repo-relative so checkpoints survive checkouts
+                # mounted somewhere other than the original absolute path
+                try:
+                    rel = Path(obj).resolve().relative_to(_REPO_ROOT)
+                    return {"__path__": str(rel)}
+                except ValueError:
+                    return {"__path__": str(obj)}
             if isinstance(obj, dict):
                 return {k: ser(v) for k, v in obj.items()}
             if isinstance(obj, (list, tuple)):
@@ -106,7 +115,9 @@ class Config:
                     names = {f.name for f in dataclasses.fields(cls)}
                     return cls(**{k: v for k, v in kwargs.items() if k in names})
                 if "__path__" in obj:
-                    return Path(obj["__path__"])
+                    p = Path(obj["__path__"])
+                    # relative paths are repo-relative (see to_dict)
+                    return p if p.is_absolute() else _REPO_ROOT / p
                 if "__class__" in obj:
                     return resolve(obj["__class__"])
                 return {k: de(v) for k, v in obj.items()}

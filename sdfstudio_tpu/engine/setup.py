@@ -83,5 +83,9 @@ def eval_setup(config_path: Path, test_mode: bool = True) -> Tuple[Config, Train
     config = Config.load_config(config_path)
     trainer = setup_trainer(config, test_mode=test_mode)
     trainer.config.load_dir = config.get_checkpoint_dir()
+    # a resuming segment bakes its --trainer.load-step into the saved
+    # config.yml; that step is usually pruned by save_only_latest_checkpoint,
+    # so eval must always pick the latest complete checkpoint instead
+    trainer.config.load_step = None
     trainer.setup()
     return config, trainer

@@ -683,8 +683,14 @@ class Trainer:
 
         load_dir = Path(load_dir)
         if load_step is None:
-            steps = sorted(int(p.name.split("-")[1]) for p in load_dir.glob("step-*"))
-            assert steps, f"no checkpoints in {load_dir}"
+            # step.txt is written LAST by save_checkpoint: a dir without it
+            # is a partial save from a crash and must not poison the resume
+            steps = sorted(
+                int(p.name.split("-")[1])
+                for p in load_dir.glob("step-*")
+                if (p / "step.txt").exists()
+            )
+            assert steps, f"no complete checkpoints in {load_dir}"
             load_step = steps[-1]
         path = load_dir / f"step-{load_step:09d}"
         template = {

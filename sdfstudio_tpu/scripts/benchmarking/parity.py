@@ -2,8 +2,8 @@
 
 Runs BOTH protocol arms — `neus-facto` (reference hyperparameters, the
 control) and `neus-facto-tpu` (the deployed TPU layout) — for 20k
-iterations on the procedural DTU-like scene, then evaluates held-out
-PSNR (scripts/eval.py) and Chamfer-L1 against the analytic GT SDF
+iterations on the procedural DTU-like scene, then evaluates eval-split
+PSNR (train-view under the reference default split — see docs/parity-protocol.md) (scripts/eval.py) and Chamfer-L1 against the analytic GT SDF
 (eval_geometry --gt dtu-like) and writes the `PARITY.json` attestation
 that gates which config `bench.py` measures.
 
@@ -101,7 +101,12 @@ def train_segment(method: str, end: int, resume: bool) -> None:
         "--datamanager.train-num-rays-per-batch", str(NUM_RAYS),
     ]
     if resume:
-        args += ["--trainer.load-dir", str(ckpt_dir(method))]
+        # pin the step.txt-verified step: a partial dir left by a mid-save
+        # crash must never be the one the trainer resumes from
+        args += [
+            "--trainer.load-dir", str(ckpt_dir(method)),
+            "--trainer.load-step", str(latest_step(method)),
+        ]
     args += ["sdfstudio-data", "--data", str(DATA_DIR)]
     env = dict(os.environ, SST_SEGMENT_CHILD="1")
     t0 = time.time()
@@ -116,7 +121,12 @@ def evaluate_arm(method: str) -> dict:
     base = arm_base_dir(method)
     out = base / "parity_metrics.json"
     if out.exists():
-        return json.loads(out.read_text())
+        cached = json.loads(out.read_text())
+        # stale-cache guard: the arm may have trained further since the
+        # metrics were computed (e.g. a shorter earlier run) — re-evaluate
+        if cached.get("iters") == latest_step(method):
+            return cached
+        out.unlink()
     psnr_json = base / "eval_metrics.json"
     subprocess.run(
         [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
@@ -150,15 +160,17 @@ def evaluate_arm(method: str) -> dict:
     return rec
 
 
-def write_attestation(preset: dict, control: dict, iters: int) -> None:
+def write_attestation(preset: dict, control: dict) -> None:
     ok_psnr = preset["psnr"] >= control["psnr"] - PSNR_TOL_DB
     ok_chamfer = preset["chamfer_l1"] <= control["chamfer_l1"] * (1 + CHAMFER_TOL)
     rec = {
         "method": preset["method"],
         "pass": bool(ok_psnr and ok_chamfer),
-        "preset": {"psnr": preset["psnr"], "chamfer_l1": preset["chamfer_l1"]},
-        "control": {"psnr": control["psnr"], "chamfer_l1": control["chamfer_l1"]},
-        "iters": iters,
+        # record the step each arm was ACTUALLY trained to, not the request
+        "preset": {"psnr": preset["psnr"], "chamfer_l1": preset["chamfer_l1"],
+                   "iters": preset["iters"]},
+        "control": {"psnr": control["psnr"], "chamfer_l1": control["chamfer_l1"],
+                    "iters": control["iters"]},
         "scene": "dtu_like",
         "criteria": {"psnr_tol_db": PSNR_TOL_DB, "chamfer_tol": CHAMFER_TOL},
     }
@@ -192,10 +204,16 @@ def main() -> None:
         results[method] = evaluate_arm(method)
 
     if len(arms) == 2 and all(m in results for m in arms):
-        # control is the reference-hyperparameter arm regardless of order
-        control = next((m for m in arms if m == "neus-facto"), arms[1])
+        # the control must literally be the reference-hyperparameter arm;
+        # never attest an arbitrary pair (bench.py trusts any pass=true)
+        if "neus-facto" not in arms:
+            raise SystemExit(
+                "[parity] refusing to attest: control arm 'neus-facto' missing "
+                f"from --arms {args.arms}"
+            )
+        control = "neus-facto"
         preset = next(m for m in arms if m != control)
-        write_attestation(results[preset], results[control], args.iters)
+        write_attestation(results[preset], results[control])
 
 
 if __name__ == "__main__":

@@ -188,6 +188,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     only = args.only.split(",") if args.only else None
+    from sdfstudio_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     print(f"backend={jax.default_backend()}", flush=True)
 
     M = 4_194_304

@@ -30,22 +30,28 @@ def test_latest_step_picks_max_complete(tmp_path, monkeypatch):
 
 def test_attestation_pass_and_fail(tmp_path, monkeypatch):
     parity = _load_parity(tmp_path, monkeypatch)
-    control = {"method": "neus-facto", "psnr": 30.0, "chamfer_l1": 0.010}
+    control = {"method": "neus-facto", "psnr": 30.0, "chamfer_l1": 0.010,
+               "iters": 20000}
 
-    good = {"method": "neus-facto-tpu", "psnr": 29.8, "chamfer_l1": 0.0105}
-    parity.write_attestation(good, control, iters=20000)
+    good = {"method": "neus-facto-tpu", "psnr": 29.8, "chamfer_l1": 0.0105,
+            "iters": 20000}
+    parity.write_attestation(good, control)
     rec = json.loads(parity.ATTESTATION.read_text())
     assert rec["pass"] and rec["method"] == "neus-facto-tpu"
-    assert rec["iters"] == 20000
+    # the attestation records the step each arm was ACTUALLY trained to
+    assert rec["preset"]["iters"] == 20000
+    assert rec["control"]["iters"] == 20000
 
     # 0.5 dB below control -> fail even with better chamfer
-    bad = {"method": "neus-facto-tpu", "psnr": 29.5, "chamfer_l1": 0.008}
-    parity.write_attestation(bad, control, iters=20000)
+    bad = {"method": "neus-facto-tpu", "psnr": 29.5, "chamfer_l1": 0.008,
+           "iters": 20000}
+    parity.write_attestation(bad, control)
     assert not json.loads(parity.ATTESTATION.read_text())["pass"]
 
     # chamfer 20% worse -> fail even with better psnr
-    bad2 = {"method": "neus-facto-tpu", "psnr": 30.5, "chamfer_l1": 0.012}
-    parity.write_attestation(bad2, control, iters=20000)
+    bad2 = {"method": "neus-facto-tpu", "psnr": 30.5, "chamfer_l1": 0.012,
+            "iters": 20000}
+    parity.write_attestation(bad2, control)
     assert not json.loads(parity.ATTESTATION.read_text())["pass"]
 
 
