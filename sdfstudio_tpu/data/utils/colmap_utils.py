@@ -234,5 +234,49 @@ def read_model(sparse_dir: Path):
     else:
         cams = read_cameras_text(sparse_dir / "cameras.txt")
         imgs = read_images_text(sparse_dir / "images.txt")
-        pts = None
+        pts = (
+            read_points3d_text(sparse_dir / "points3D.txt")
+            if (sparse_dir / "points3D.txt").exists()
+            else None
+        )
     return cams, imgs, pts
+
+
+# ---------------------------------------------------------------------------
+# Text-model writers (COLMAP sparse text format; used by the synthetic
+# heritage-like benchmark scene and hermetic tests)
+# ---------------------------------------------------------------------------
+
+
+def write_cameras_text(cameras: Dict[int, ColmapCamera], path: Path) -> None:
+    lines = ["# Camera list: CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]"]
+    for cam in cameras.values():
+        params = " ".join(f"{p:.10g}" for p in np.asarray(cam.params).ravel())
+        lines.append(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def write_images_text(images: Dict[int, ColmapImage], path: Path) -> None:
+    lines = ["# Image list: IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME / POINTS2D"]
+    for im in images.values():
+        q = " ".join(f"{v:.10g}" for v in np.asarray(im.qvec).ravel())
+        t = " ".join(f"{v:.10g}" for v in np.asarray(im.tvec).ravel())
+        lines.append(f"{im.id} {q} {t} {im.camera_id} {im.name}")
+        obs = " ".join(
+            f"{xy[0]:.4f} {xy[1]:.4f} {int(pid)}"
+            for xy, pid in zip(im.xys, im.point3D_ids)
+        )
+        lines.append(obs)
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def write_points3d_text(points: Dict[int, ColmapPoint3D], path: Path) -> None:
+    lines = ["# 3D point list: POINT3D_ID X Y Z R G B ERROR TRACK[]"]
+    for pt in points.values():
+        xyz = " ".join(f"{v:.10g}" for v in np.asarray(pt.xyz).ravel())
+        rgb = " ".join(str(int(v)) for v in np.asarray(pt.rgb).ravel())
+        track = " ".join(
+            f"{int(i)} {int(j)}" for i, j in zip(pt.image_ids, pt.point2D_idxs)
+        )
+        lines.append(f"{pt.id} {xyz} {rgb} {pt.error:.6g} {track}")
+    Path(path).write_text("\n".join(lines) + "\n")
