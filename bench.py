@@ -27,10 +27,22 @@ import time
 from pathlib import Path
 
 BASELINE_RAYS_PER_SEC = 45000.0  # RTX 3090 reference (BASELINE.md)
-K = 10          # steps per scanned program (K>~16 faults this TPU compiler)
 CALLS_SMALL = 1
 CALLS_LARGE = 20
 NUM_RAYS = 2048
+
+
+def bench_k() -> int:
+    """Steps per scanned program: the method's own deployed steps_per_call
+    (probe-verified per method; neus-facto-tpu ships K=25) with the
+    conservative TPU auto default (10) as fallback — K>~16 faults this TPU
+    compiler on the FULL neus-facto step but not the preset
+    (docs/tpu-design.md; probe_scan_k.py)."""
+    from sdfstudio_tpu.configs.methods import method_configs
+
+    cfg = method_configs.get(bench_method())
+    k = getattr(cfg.trainer, "steps_per_call", 0) if cfg is not None else 0
+    return k or 10
 
 
 def bench_method() -> str:
@@ -92,20 +104,21 @@ def child(num_calls: int):
     trainer.setup(jax.random.PRNGKey(0))
 
     # compile (persistent-cached across processes) + warm first call
-    trainer.state, _ = trainer._train_multi(trainer.state, K)
+    k = bench_k()
+    trainer.state, _ = trainer._train_multi(trainer.state, k)
     jax.block_until_ready(trainer.state.params)
 
     t0 = time.perf_counter()
     for _ in range(num_calls):
-        trainer.state, metrics = trainer._train_multi(trainer.state, K)
+        trainer.state, metrics = trainer._train_multi(trainer.state, k)
     last = metrics[-1]
     loss = float(trainer.unpack_metrics(last)["loss"])  # real device readback
     dt = time.perf_counter() - t0
-    print(f"BENCH_CHILD calls={num_calls} steps={num_calls * K} "
+    print(f"BENCH_CHILD calls={num_calls} steps={num_calls * k} "
           f"total={dt:.3f} loss={loss:.4f}", flush=True)
 
 
-def run_child(num_calls: int) -> float:
+def run_child(num_calls: int) -> tuple[float, int]:
     out = subprocess.run(
         [sys.executable, __file__, "--child", str(num_calls)],
         capture_output=True, text=True, timeout=3600,
@@ -114,16 +127,18 @@ def run_child(num_calls: int) -> float:
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_CHILD"):
             print(line, file=sys.stderr)
-            return float(line.split("total=")[1].split()[0])
+            total = float(line.split("total=")[1].split()[0])
+            steps = int(line.split("steps=")[1].split()[0])
+            return total, steps
     print(out.stdout[-2000:], file=sys.stderr)
     print(out.stderr[-4000:], file=sys.stderr)
     raise RuntimeError(f"bench child (calls={num_calls}) failed")
 
 
 def main():
-    t_small = run_child(CALLS_SMALL)
-    t_large = run_child(CALLS_LARGE)
-    d_steps = (CALLS_LARGE - CALLS_SMALL) * K
+    t_small, s_small = run_child(CALLS_SMALL)
+    t_large, s_large = run_child(CALLS_LARGE)
+    d_steps = s_large - s_small
     per_step = max(t_large - t_small, 1e-9) / d_steps
     rays_per_sec = NUM_RAYS / per_step
     print(

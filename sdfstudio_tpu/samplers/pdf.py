@@ -29,6 +29,9 @@ def sample_pdf_bins(
     """Draw ``num_samples + 1`` new bin edges from the weight histogram
     (reference ray_samplers.py:275-358). Returns [R, num_samples+1] (or
     [R, N + num_samples + 2] merged+sorted when include_original)."""
+    from sdfstudio_tpu.utils import checks
+
+    checks.check_bins_weights(existing_bins, weights, "sample_pdf_bins")
     num_bins = num_samples + 1
 
     weights = weights + histogram_padding

@@ -64,9 +64,16 @@ def main() -> None:
     ap.add_argument("--bound", type=float, default=1.0)
     ap.add_argument("--output-mesh", type=Path, default=None)
     ap.add_argument(
-        "--gt", choices=["sphere", "dtu-like"], default="sphere",
-        help="analytic ground truth: 'sphere' (generate_sphere_dataset) or "
-        "'dtu-like' (synthetic_dtu.gt_sdf — the DTU-scan65-protocol scene)",
+        "--gt", choices=["sphere", "dtu-like", "heritage-like"], default="sphere",
+        help="analytic ground truth: 'sphere' (generate_sphere_dataset), "
+        "'dtu-like' (synthetic_dtu.gt_sdf — the DTU-scan65-protocol scene), or "
+        "'heritage-like' (synthetic_heritage.gt_sdf, evaluated in the "
+        "heritage parser's normalized frame)",
+    )
+    ap.add_argument(
+        "--dataparser", default=None,
+        help="dataparser subcommand (default: sdfstudio-data; heritage-like "
+        "GT implies heritage-data)",
     )
     args = ap.parse_args()
 
@@ -76,7 +83,10 @@ def main() -> None:
     from sdfstudio_tpu.scripts.train import parse_args as parse_train_args
     from sdfstudio_tpu.utils.marching_cubes import get_surface_sliding
 
-    config = parse_train_args([args.method, "sdfstudio-data", "--data", str(args.data)])
+    parser_cmd = args.dataparser or (
+        "heritage-data" if args.gt == "heritage-like" else "sdfstudio-data"
+    )
+    config = parse_train_args([args.method, parser_cmd, "--data", str(args.data)])
     config.output_dir = Path("/tmp/sst_eval_geometry")
     config.timestamp = "g"
     config.vis = "none"
@@ -104,6 +114,11 @@ def main() -> None:
 
         m = chamfer_l1_to_gt(v)
         gt_note = "(gt=dtu-like)"
+    elif args.gt == "heritage-like":
+        from sdfstudio_tpu.data.synthetic_heritage import chamfer_l1_to_gt
+
+        m = chamfer_l1_to_gt(v, args.data)
+        gt_note = "(gt=heritage-like, normalized units)"
     else:
         m = chamfer_l1_to_sphere(v, args.radius)
         gt_note = f"(radius={args.radius})"

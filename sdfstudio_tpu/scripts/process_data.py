@@ -11,9 +11,19 @@ depends on what the machine provides:
   data/sparse/0), transforms.json is written from it using the built-in
   pure-python COLMAP readers (bin and txt);
 * ``video`` mode extracts frames with imageio/pyav when available
-  (ffmpeg's role in the reference);
+  (ffmpeg's role in the reference); ``insta360`` mode pairs the dual-lens
+  .insv videos, center-crops the fisheye border and counter-rotates the
+  lenses before the joint SfM (reference process_data/insta360_utils.py);
+* capture-app modes (``polycam`` / ``metashape`` / ``record3d``) convert
+  app-exported poses directly — no SfM (sdfstudio_tpu/scripts/importers.py);
 * otherwise the tool prints the exact external commands to run
   (hermetic environments without COLMAP).
+
+The reference's optional hloc backend (learned features; an alternative to
+COLMAP's SIFT) is deliberately env-gated out: hloc pulls torch-GPU + model
+weights that a zero-egress deployment cannot fetch. The ``--matching-method``
+surface matches the reference's, so an hloc binary could slot in where the
+colmap binary does.
 
 Converters to sdfstudio format live in sdfstudio_tpu/scripts/datasets/.
 """
@@ -148,13 +158,68 @@ def extract_video_frames(video: Path, out_dir: Path, num_frames: int = 300):
     print(f"extracted {k} frames to {out_dir}")
 
 
+def insta360_filenames(data: Path) -> tuple[Path, Path]:
+    """Back/front lens video pair from one .insv filename
+    (reference insta360_utils.py:30-51: VID_<date>_<time>_00_<seq>.insv is
+    the back lens, _10_ the front)."""
+    if data.suffix != ".insv":
+        raise ValueError("The input file must be an .insv file.")
+    parts = data.stem.split("_")
+    back = data.parent / f"VID_{parts[1]}_{parts[2]}_00_{parts[4]}.insv"
+    front = data.parent / f"VID_{parts[1]}_{parts[2]}_10_{parts[4]}.insv"
+    return back, front
+
+
+def insta360_frame_transform(frame: np.ndarray, lens: str,
+                             crop_percentage: float = 0.7) -> np.ndarray:
+    """Per-lens fisheye frame prep (reference insta360_utils.py:99-105):
+    center-crop to crop_percentage (trims the curved fisheye border), then
+    rotate 90deg — counter-clockwise for the front lens (ffmpeg
+    transpose=2), clockwise for the back (transpose=1)."""
+    h, w = frame.shape[:2]
+    ch, cw = int(h * crop_percentage), int(w * crop_percentage)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    cropped = frame[y0 : y0 + ch, x0 : x0 + cw]
+    k = 1 if lens == "front" else -1  # np.rot90 k=1 is counter-clockwise
+    return np.rot90(cropped, k=k)
+
+
+def extract_insta360_frames(
+    video: Path, out_dir: Path, num_frames: int = 300, crop_percentage: float = 0.7
+):
+    """Extract + prep frames from an insta360 dual-lens capture; both
+    lenses' frames land in out_dir for one joint SfM reconstruction."""
+    import imageio.v2 as imageio
+
+    back, front = insta360_filenames(Path(video))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    k = 0
+    for lens, path in (("front", front), ("back", back)):
+        if not path.exists():
+            print(f"[insta360] missing {lens} lens video {path}; skipping")
+            continue
+        reader = imageio.get_reader(path)
+        total = reader.count_frames()
+        idx = np.linspace(0, total - 1, min(num_frames // 2, total)).astype(int)
+        wanted = set(idx.tolist())
+        for i, frame in enumerate(reader):
+            if i in wanted:
+                prepped = insta360_frame_transform(frame, lens, crop_percentage)
+                imageio.imwrite(out_dir / f"frame_{k:05d}.png", prepped)
+                k += 1
+    print(f"extracted {k} insta360 frames to {out_dir}")
+
+
 def entrypoint(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     pi = sub.add_parser("images")
     pv = sub.add_parser("video")
     pv.add_argument("--num-frames-target", type=int, default=300)
-    for sp in (pi, pv):
+    p360 = sub.add_parser("insta360")
+    p360.add_argument("--num-frames-target", type=int, default=300)
+    p360.add_argument("--crop-percentage", type=float, default=0.7)
+    for sp in (pi, pv, p360):
         sp.add_argument("--data", type=Path, required=True)
         sp.add_argument("--output-dir", type=Path, required=True)
         sp.add_argument("--matching-method", default="exhaustive",
@@ -205,7 +270,11 @@ def entrypoint(argv=None):
 
     out = Path(a.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if a.cmd == "video":
+    if a.cmd == "insta360":
+        extract_insta360_frames(
+            Path(a.data), out / "images", a.num_frames_target, a.crop_percentage
+        )
+    elif a.cmd == "video":
         extract_video_frames(Path(a.data), out / "images", a.num_frames_target)
     else:
         imgs = out / "images"

@@ -59,6 +59,24 @@ def check_positions(x, name: str = "positions", dim: int = 3):
         raise ValueError(f"{name}: expected float dtype, got {x.dtype}")
 
 
+def check_bins_weights(bins, weights, name: str = "pdf_sampler"):
+    """Samplers-layer contract: bins [R, N+1] must bracket weights [R, N].
+    An off-by-one here (e.g. passing starts instead of bin edges) would
+    silently mis-index take_along_axis under jit."""
+    if bins is None or weights is None or not ENABLED:
+        return
+    if bins.ndim != 2 or weights.ndim != 2:
+        raise ValueError(
+            f"{name}: bins/weights must be rank-2 [R, .], got "
+            f"{tuple(bins.shape)} / {tuple(weights.shape)}"
+        )
+    if bins.shape[0] != weights.shape[0] or bins.shape[1] != weights.shape[1] + 1:
+        raise ValueError(
+            f"{name}: expected bins [R, N+1] vs weights [R, N], got "
+            f"{tuple(bins.shape)} vs {tuple(weights.shape)}"
+        )
+
+
 def check_ray_bundle(rb):
     if not ENABLED:
         return

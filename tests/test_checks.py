@@ -70,3 +70,20 @@ def test_field_positions_checked():
     badint = jnp.zeros((16, 3), jnp.int32)
     with pytest.raises(ValueError, match="float dtype"):
         enc.init(jax.random.PRNGKey(0), badint)
+
+
+def test_pdf_bins_weights_contract():
+    import jax.numpy as jnp
+    import pytest
+
+    from sdfstudio_tpu.samplers.pdf import sample_pdf_bins
+
+    bins = jnp.linspace(0, 1, 9)[None].repeat(4, 0)  # [4, 9]
+    weights = jnp.ones((4, 8))
+    out = sample_pdf_bins(bins, weights, num_samples=4)
+    assert out.shape == (4, 5)
+
+    with pytest.raises(ValueError, match="bins"):
+        sample_pdf_bins(bins, jnp.ones((4, 9)), num_samples=4)  # N+1 weights
+    with pytest.raises(ValueError, match="bins"):
+        sample_pdf_bins(bins[:2], weights, num_samples=4)  # ray-count mismatch

@@ -165,3 +165,41 @@ def test_polycam_all_frames_filtered_errors(tmp_path):
     with pytest.raises(ValueError, match="no usable frames"):
         entrypoint(["polycam", "--data", str(tmp_path / "cap"),
                     "--output-dir", str(tmp_path / "out")])
+
+
+# ---------------------------------------------------------------------------
+# insta360 (reference nerfstudio/process_data/insta360_utils.py:30-105)
+# ---------------------------------------------------------------------------
+
+
+def test_insta360_filename_pairing(tmp_path):
+    import pytest
+
+    from sdfstudio_tpu.scripts.process_data import insta360_filenames
+
+    back, front = insta360_filenames(tmp_path / "VID_20220212_070353_00_003.insv")
+    assert back.name == "VID_20220212_070353_00_003.insv"
+    assert front.name == "VID_20220212_070353_10_003.insv"
+    # the front-lens file maps to the same pair
+    back2, front2 = insta360_filenames(tmp_path / "VID_20220212_070353_10_003.insv")
+    assert (back2.name, front2.name) == (back.name, front.name)
+    with pytest.raises(ValueError):
+        insta360_filenames(tmp_path / "video.mp4")
+
+
+def test_insta360_frame_transform():
+    import numpy as np
+
+    from sdfstudio_tpu.scripts.process_data import insta360_frame_transform
+
+    frame = np.arange(100 * 200 * 3, dtype=np.uint8).reshape(100, 200, 3)
+    out_f = insta360_frame_transform(frame, "front", crop_percentage=0.7)
+    out_b = insta360_frame_transform(frame, "back", crop_percentage=0.7)
+    # crop 70% then rotate 90deg: (70, 140) -> (140, 70)
+    assert out_f.shape == (140, 70, 3) and out_b.shape == (140, 70, 3)
+    # front is counter-clockwise, back clockwise: opposite rotations of the
+    # SAME crop must be 180deg rotations of each other
+    assert np.array_equal(out_f, np.rot90(out_b, k=2))
+    # center crop really centers: the central pixel is preserved
+    ch = insta360_frame_transform(frame, "front", crop_percentage=0.1)
+    assert frame[50, 100, 0] in ch
