@@ -1,0 +1,162 @@
+"""Preset-candidate shootout: decide the next neus-facto-tpu layout.
+
+The gather-strategy sweep (docs/tpu-design.md, probe_gather2) pinned the
+hash-table row-gather at ~161M rows/s and showed the rate is independent
+of row WIDTH up to F=4 — so the remaining throughput levers are
+access-count-structural. This tool trains each candidate layout for a
+short budget (default 2k iterations — the reference's own "reasonable
+reconstruction after 2K iterations" checkpoint, README.md:83) on the
+DTU-like protocol scene and reports WALL-CLOCK rays/s + PSNR + Chamfer-L1
+side by side, so the preset upgrade is an evidence-based pick. The winner
+still must pass the FULL 20k-iteration parity protocol before bench.py
+may measure it (docs/parity-protocol.md).
+
+Candidates (over the committed neus-facto-tpu base):
+  base      L8xF2 hash, 2^19, max_res 512 (as committed)
+  l4xf4     4 levels x 4 features — HALF the gather rows, same feature width
+  l2xf8     2 levels x 8 features — quarter rows at 0.9x row rate
+  permuto   permutohedral lattice — 4 simplex corners per lookup vs 8
+  rays4096  2x batch (amortizes the ~70 ms non-gather floor; rays/s metric)
+
+Usage (TPU):
+    python -m sdfstudio_tpu.scripts.benchmarking.preset_candidates \
+        [--iters 2000] [--only base,l4xf4] [--budget-seconds 3600]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[3]
+PARITY_DIR = Path(os.environ.get("SST_PARITY_DIR", REPO / ".parity"))
+DATA_DIR = PARITY_DIR / "dtu_like"
+RUNS_DIR = PARITY_DIR / "candidate_runs"
+OUT_JSON = PARITY_DIR / "preset_candidates.json"
+
+CANDIDATES: dict[str, list[str]] = {
+    "base": [],
+    "l4xf4": ["--model.sdf-field.num-levels", "4",
+              "--model.sdf-field.hash-features-per-level", "4"],
+    "l2xf8": ["--model.sdf-field.num-levels", "2",
+              "--model.sdf-field.hash-features-per-level", "8"],
+    "permuto": ["--model.sdf-field.encoding-type", "permuto"],
+    "rays4096": ["--datamanager.train-num-rays-per-batch", "4096"],
+}
+
+
+def ensure_scene() -> None:
+    if not (DATA_DIR / "meta_data.json").exists():
+        from sdfstudio_tpu.data.synthetic_dtu import generate_dtu_like_dataset
+
+        generate_dtu_like_dataset(DATA_DIR)
+
+
+def base_dir(name: str) -> Path:
+    return RUNS_DIR / name / "neus-facto-tpu" / "parity"
+
+
+def latest_step(name: str) -> int:
+    ck = base_dir(name) / "sdfstudio_models"
+    steps = [int(p.name.split("-")[1]) for p in ck.glob("step-*")
+             if (p / "step.txt").exists()]
+    return max(steps, default=0)
+
+
+def run_candidate(name: str, iters: int, num_rays: int) -> dict:
+    rays = num_rays
+    extra = list(CANDIDATES[name])
+    if name == "rays4096":
+        rays = 4096
+        extra = []
+    start = latest_step(name)
+    wall = 0.0
+    if start < iters:
+        args = [
+            sys.executable, "-m", "sdfstudio_tpu.scripts.train", "neus-facto-tpu",
+            "--experiment-name", name,
+            "--output-dir", str(RUNS_DIR),
+            "--timestamp", "parity",
+            "--vis", "none",
+            "--trainer.max-num-iterations", str(iters),
+            "--trainer.defer-heavy-ops", "True",
+            "--trainer.steps-per-eval-image", "0",
+            "--datamanager.train-num-rays-per-batch", str(rays),
+            *extra,
+        ]
+        if start > 0:
+            args += ["--trainer.load-dir", str(base_dir(name) / "sdfstudio_models"),
+                     "--trainer.load-step", str(start)]
+        args += ["sdfstudio-data", "--data", str(DATA_DIR)]
+        t0 = time.time()
+        ret = subprocess.run(args, env=dict(os.environ, SST_SEGMENT_CHILD="1"),
+                             cwd=REPO).returncode
+        wall = time.time() - t0
+        if ret != 0:
+            return {"name": name, "status": f"train failed rc={ret}"}
+
+    psnr_json = base_dir(name) / "eval_metrics.json"
+    subprocess.run(
+        [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
+         "--load-config", str(base_dir(name) / "config.yml"),
+         "--output-path", str(psnr_json)],
+        check=True, cwd=REPO,
+    )
+    psnr = json.loads(psnr_json.read_text())["results"]
+    geo = subprocess.run(
+        [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
+         "--load-dir", str(base_dir(name) / "sdfstudio_models"),
+         "--method", "neus-facto-tpu", "--data", str(DATA_DIR),
+         "--gt", "dtu-like",
+         "--output-mesh", str(base_dir(name) / "mesh.ply")],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
+    rec = {
+        "name": name,
+        "iters": latest_step(name),
+        "rays_per_batch": rays,
+        "train_wall_s": round(wall, 1),
+        "rays_per_s": round(rays * (iters - start) / wall, 1) if wall else None,
+        "psnr": psnr["psnr"],
+        "chamfer_l1": float(m.group(1)) if m else None,
+    }
+    print(f"[candidates] {rec}", flush=True)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--num-rays", type=int, default=2048)
+    ap.add_argument("--only", default=None, help="comma list of candidates")
+    ap.add_argument("--budget-seconds", type=float, default=None)
+    args = ap.parse_args()
+    names = args.only.split(",") if args.only else list(CANDIDATES)
+    ensure_scene()
+    t0 = time.time()
+    results = []
+    if OUT_JSON.exists():
+        results = [r for r in json.loads(OUT_JSON.read_text())
+                   if r.get("name") not in names or r.get("iters", 0) >= args.iters]
+    done = {r["name"] for r in results}
+    for name in names:
+        if name in done:
+            continue
+        if args.budget_seconds and time.time() - t0 > args.budget_seconds:
+            print(f"[candidates] budget exhausted before {name}; re-run to resume",
+                  flush=True)
+            break
+        results.append(run_candidate(name, args.iters, args.num_rays))
+        OUT_JSON.parent.mkdir(parents=True, exist_ok=True)
+        OUT_JSON.write_text(json.dumps(results, indent=1))
+    print(json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ locally. This environment pins no linters, so the gate is:
 2. **docstring-citation audit** — every non-test module under
    sdfstudio_tpu/ must carry a module docstring (the repo's parity
    convention: docstrings cite the reference file:line they implement);
-3. **fast test tier** — ``pytest -m "not slow"`` (<2 min on CPU);
+3. **fast test tier** — ``pytest -m "not slow"`` (~10 min on a 1-CPU box);
 4. optionally ``--full`` for the whole suite.
 
 Exits non-zero on the first failing stage, like a CI pipeline.
