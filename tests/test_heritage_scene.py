@@ -97,3 +97,48 @@ def test_chamfer_gt_selfcheck(heritage_scene):
     sphere /= np.linalg.norm(sphere, axis=1, keepdims=True)
     bad = chamfer_l1_to_gt(sphere * 0.5, heritage_scene)
     assert bad["chamfer_l1"] > rec["chamfer_l1"] * 5
+
+
+@pytest.mark.slow
+def test_bakedsdf_on_heritage_colmap(heritage_scene, tmp_path):
+    """The OTHER unbounded consumer of the scene: bakedsdf via the
+    mipnerf360 COLMAP parser (scene contraction + background model),
+    reference docs/sdfstudio-examples.md:15."""
+    from sdfstudio_tpu.engine.setup import setup_trainer
+    from sdfstudio_tpu.scripts.train import parse_args
+
+    config = parse_args(["bakedsdf", "mipnerf360-data", "--data", str(heritage_scene)])
+    config.trainer = dataclasses.replace(
+        config.trainer, max_num_iterations=2, steps_per_save=100,
+        steps_per_eval_image=0, steps_per_log=1,
+    )
+    config.datamanager = dataclasses.replace(
+        config.datamanager, train_num_rays_per_batch=32, eval_num_rays_per_batch=32
+    )
+    sdf = dataclasses.replace(
+        config.model.sdf_field, num_layers=2, hidden_dim=32, geo_feat_dim=15,
+        num_layers_color=2, hidden_dim_color=32, num_levels=4, max_res=64,
+        base_res=16, log2_hashmap_size=10,
+    )
+    names = {f.name for f in dataclasses.fields(config.model)}
+    small = dict(
+        sdf_field=sdf, num_samples=8, num_samples_importance=8,
+        num_samples_outside=4, eval_num_rays_per_chunk=64,
+        num_proposal_samples_per_ray=(16, 8),
+        proposal_net_args_list=(
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 2, "max_res": 32},
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 2, "max_res": 32},
+        ),
+    )
+    config.model = dataclasses.replace(
+        config.model, **{k: v for k, v in small.items() if k in names}
+    )
+    config.output_dir = tmp_path
+    config.timestamp = "test"
+    trainer = setup_trainer(config, test_mode=True)
+    trainer.setup(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(2):
+        rng, sub = jax.random.split(rng)
+        trainer.state, metrics = trainer._train_step(trainer.state, sub)
+    assert np.isfinite(trainer.unpack_metrics(metrics)["loss"])
