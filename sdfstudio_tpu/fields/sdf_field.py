@@ -488,6 +488,33 @@ class SDFFieldNet(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _core_remat_policy():
+    """Remat policy for the field core (gradients identical either way;
+    only the memory/recompute tradeoff changes):
+
+    * ``save-hash`` (default): save the named encode outputs — recomputing
+      them in the backward would redo the dominant multi-M-row gather;
+    * ``nothing``: rematerialize everything (minimum residency — the lever
+      for large-batch runs where even the saved encode outputs overflow
+      HBM, e.g. the 8192-ray probe);
+    * ``dots``: save matmul outputs (XLA's classic policy) — trades more
+      memory for fewer MLP recomputes.
+
+    Env-gated (``SST_REMAT_POLICY``) rather than config so perf probes can
+    sweep it without touching the config tree.
+    """
+    import os
+
+    mode = os.environ.get("SST_REMAT_POLICY", "save-hash")
+    if mode == "nothing":
+        return jax.checkpoint_policies.nothing_saveable
+    if mode == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    return jax.checkpoint_policies.save_only_these_names(
+        "hash_feature", "hash_jac", "hash_corner_feats"
+    )
+
+
 @dataclasses.dataclass
 class SDFField:
     """Host-side field wrapper bundling the module def with pure methods.
@@ -700,10 +727,7 @@ class SDFField:
             return rgb, sdf, gradients, sampled_sdf
 
         rgb, sdf, gradients, sampled_sdf = jax.checkpoint(
-            core,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "hash_feature", "hash_jac", "hash_corner_feats"
-            ),
+            core, policy=_core_remat_policy()
         )(
             params, inputs, directions, camera_indices, delta_arg
         )
