@@ -532,10 +532,18 @@ class Trainer:
         outputs = self.render_image(self.state.params, camera_index)
         gt = np.asarray(self.datamanager.eval_image_data(camera_index)["image"])[..., :3]
         rgb = outputs["rgb"]
-        return {
+        m = {
             "psnr": float(psnr_fn(jnp.asarray(rgb), jnp.asarray(gt))),
             "ssim": float(ssim_fn(jnp.asarray(rgb), jnp.asarray(gt))),
         }
+        # LPIPS only when weights are supplied (SST_LPIPS_WEIGHTS;
+        # reference base_surface_model.py:233-236 — see utils/metrics.py)
+        from sdfstudio_tpu.utils.metrics import lpips as lpips_fn
+
+        lp = lpips_fn(jnp.asarray(rgb), jnp.asarray(gt))
+        if lp is not None:
+            m["lpips"] = float(lp)
+        return m
 
     # ------------------------------------------------------------------
     def train(self, num_iterations: Optional[int] = None):
