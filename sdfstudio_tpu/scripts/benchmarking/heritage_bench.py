@@ -80,7 +80,11 @@ def train_segment(method: str, end: int, resume: bool) -> None:
     args += ["heritage-data", "--data", str(DATA_DIR)]
     env = dict(os.environ, SST_SEGMENT_CHILD="1")
     t0 = time.time()
-    ret = subprocess.run(args, env=env, cwd=REPO).returncode
+    from sdfstudio_tpu.scripts.benchmarking.parity import run_with_stall_guard
+
+    ret = run_with_stall_guard(args, env)
+    if ret == -9:
+        return  # stalled segment: caller's while-loop resumes from checkpoint
     if ret != 0:
         raise RuntimeError(f"[heritage] segment for {method} failed (rc={ret})")
     print(f"[heritage] {method}: segment -> {end} done in {time.time() - t0:.0f}s",

@@ -88,6 +88,50 @@ def latest_step(method: str) -> int:
     return max(steps, default=0)
 
 
+STALL_TIMEOUT = float(os.environ.get("SST_SEGMENT_STALL_TIMEOUT", 2700))
+
+
+def run_with_stall_guard(args, env, stall_timeout: float = STALL_TIMEOUT) -> int:
+    """subprocess.run, but kill the child if it emits NO output for
+    ``stall_timeout`` seconds.
+
+    The relay deployment occasionally stalls globally (every client blocks
+    in tcp_recvmsg; observed twice in one round, ~30 min each). Stalls
+    usually self-recover — hence a generous timeout — but an unrecovered
+    one would otherwise hang an unattended multi-hour run forever. The
+    trainer prints every ``steps_per_log`` steps (~7 s), so output silence
+    is a faithful liveness signal; a killed segment resumes from its last
+    checkpoint on the caller's next attempt. Returns the child's rc, or
+    -9 after a stall kill."""
+    import threading
+
+    proc = subprocess.Popen(
+        args, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, bufsize=1,
+    )
+    last_output = [time.time()]
+
+    def pump():
+        for line in proc.stdout:
+            last_output[0] = time.time()
+            sys.stdout.write(line)
+            sys.stdout.flush()
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    while proc.poll() is None:
+        if time.time() - last_output[0] > stall_timeout:
+            print(f"[parity] child silent for {stall_timeout:.0f}s — killing "
+                  f"(relay stall assumed unrecoverable); will resume from the "
+                  f"last checkpoint", flush=True)
+            proc.kill()
+            proc.wait()
+            return -9
+        time.sleep(5)
+    t.join(timeout=10)
+    return proc.returncode
+
+
 def train_segment(method: str, end: int, resume: bool) -> None:
     args = [
         sys.executable, "-m", "sdfstudio_tpu.scripts.train", method,
@@ -110,7 +154,9 @@ def train_segment(method: str, end: int, resume: bool) -> None:
     args += ["sdfstudio-data", "--data", str(DATA_DIR)]
     env = dict(os.environ, SST_SEGMENT_CHILD="1")
     t0 = time.time()
-    ret = subprocess.run(args, env=env, cwd=REPO).returncode
+    ret = run_with_stall_guard(args, env)
+    if ret == -9:
+        return  # stalled segment: caller's while-loop resumes from checkpoint
     if ret != 0:
         raise RuntimeError(f"[parity] segment for {method} failed (rc={ret})")
     print(f"[parity] {method}: segment -> {end} done in {time.time() - t0:.0f}s", flush=True)

@@ -59,3 +59,27 @@ def test_attestation_isolated_from_repo_root(tmp_path, monkeypatch):
     parity = _load_parity(tmp_path, monkeypatch)
     # with SST_PARITY_DIR set, the attestation must NOT target the repo root
     assert parity.ATTESTATION.parent == tmp_path
+
+
+def test_stall_guard_kills_silent_child(tmp_path, monkeypatch):
+    import time
+
+    parity = _load_parity(tmp_path, monkeypatch)
+    # a child that prints once then sleeps forever: must be killed at the
+    # stall timeout, not waited on indefinitely
+    t0 = time.time()
+    rc = parity.run_with_stall_guard(
+        [__import__("sys").executable, "-c",
+         "import time; print('hello', flush=True); time.sleep(3600)"],
+        env=None, stall_timeout=2.0,
+    )
+    assert rc == -9
+    assert time.time() - t0 < 30
+
+    # a healthy child that keeps printing runs to completion
+    rc = parity.run_with_stall_guard(
+        [__import__("sys").executable, "-c",
+         "import time\nfor i in range(3): print(i, flush=True); time.sleep(0.5)"],
+        env=None, stall_timeout=2.0,
+    )
+    assert rc == 0
