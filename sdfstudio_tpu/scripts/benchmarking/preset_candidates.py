@@ -17,6 +17,9 @@ Candidates (over the committed neus-facto-tpu base):
   l2xf8     2 levels x 8 features — quarter rows at 0.9x row rate
   permuto   permutohedral lattice — 4 simplex corners per lookup vs 8
   rays4096  2x batch (amortizes the ~70 ms non-gather floor; rays/s metric)
+  neusacc   occupancy-grid sampling (neus-acc) — the structural alternative
+            to proposal distillation; compared after training because grid
+            pruning is what removes its padding waste
 
 Usage (TPU):
     python -m sdfstudio_tpu.scripts.benchmarking.preset_candidates \
@@ -39,14 +42,20 @@ DATA_DIR = PARITY_DIR / "dtu_like"
 RUNS_DIR = PARITY_DIR / "candidate_runs"
 OUT_JSON = PARITY_DIR / "preset_candidates.json"
 
-CANDIDATES: dict[str, list[str]] = {
-    "base": [],
-    "l4xf4": ["--model.sdf-field.num-levels", "4",
-              "--model.sdf-field.hash-features-per-level", "4"],
-    "l2xf8": ["--model.sdf-field.num-levels", "2",
-              "--model.sdf-field.hash-features-per-level", "8"],
-    "permuto": ["--model.sdf-field.encoding-type", "permuto"],
-    "rays4096": ["--datamanager.train-num-rays-per-batch", "4096"],
+# name -> (method, extra CLI overrides). "neusacc" measures the occupancy-
+# grid sampling path (nerfacc's replacement) as a structural alternative to
+# proposal distillation — its padding waste shrinks as training prunes the
+# grid, which is why candidates are compared AFTER short training, not at
+# step 0.
+CANDIDATES: dict[str, tuple[str, list[str]]] = {
+    "base": ("neus-facto-tpu", []),
+    "l4xf4": ("neus-facto-tpu", ["--model.sdf-field.num-levels", "4",
+              "--model.sdf-field.hash-features-per-level", "4"]),
+    "l2xf8": ("neus-facto-tpu", ["--model.sdf-field.num-levels", "2",
+              "--model.sdf-field.hash-features-per-level", "8"]),
+    "permuto": ("neus-facto-tpu", ["--model.sdf-field.encoding-type", "permuto"]),
+    "rays4096": ("neus-facto-tpu", ["--datamanager.train-num-rays-per-batch", "4096"]),
+    "neusacc": ("neus-acc", []),
 }
 
 
@@ -58,7 +67,7 @@ def ensure_scene() -> None:
 
 
 def base_dir(name: str) -> Path:
-    return RUNS_DIR / name / "neus-facto-tpu" / "parity"
+    return RUNS_DIR / name / CANDIDATES[name][0] / "parity"
 
 
 def latest_step(name: str) -> int:
@@ -69,8 +78,9 @@ def latest_step(name: str) -> int:
 
 
 def run_candidate(name: str, iters: int, num_rays: int) -> dict:
+    method, extra = CANDIDATES[name]
     rays = num_rays
-    extra = list(CANDIDATES[name])
+    extra = list(extra)
     if name == "rays4096":
         rays = 4096
         extra = []
@@ -78,7 +88,7 @@ def run_candidate(name: str, iters: int, num_rays: int) -> dict:
     wall = 0.0
     if start < iters:
         args = [
-            sys.executable, "-m", "sdfstudio_tpu.scripts.train", "neus-facto-tpu",
+            sys.executable, "-m", "sdfstudio_tpu.scripts.train", method,
             "--experiment-name", name,
             "--output-dir", str(RUNS_DIR),
             "--timestamp", "parity",
@@ -93,9 +103,10 @@ def run_candidate(name: str, iters: int, num_rays: int) -> dict:
             args += ["--trainer.load-dir", str(base_dir(name) / "sdfstudio_models"),
                      "--trainer.load-step", str(start)]
         args += ["sdfstudio-data", "--data", str(DATA_DIR)]
+        from sdfstudio_tpu.scripts.benchmarking.parity import run_with_stall_guard
+
         t0 = time.time()
-        ret = subprocess.run(args, env=dict(os.environ, SST_SEGMENT_CHILD="1"),
-                             cwd=REPO).returncode
+        ret = run_with_stall_guard(args, dict(os.environ, SST_SEGMENT_CHILD="1"))
         wall = time.time() - t0
         if ret != 0:
             return {"name": name, "status": f"train failed rc={ret}"}
@@ -111,7 +122,7 @@ def run_candidate(name: str, iters: int, num_rays: int) -> dict:
     geo = subprocess.run(
         [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
          "--load-dir", str(base_dir(name) / "sdfstudio_models"),
-         "--method", "neus-facto-tpu", "--data", str(DATA_DIR),
+         "--method", method, "--data", str(DATA_DIR),
          "--gt", "dtu-like",
          "--output-mesh", str(base_dir(name) / "mesh.ply")],
         cwd=REPO, capture_output=True, text=True,
