@@ -20,10 +20,10 @@ depends on what the machine provides:
   (hermetic environments without COLMAP).
 
 The reference's optional hloc backend (learned features; an alternative to
-COLMAP's SIFT) is deliberately env-gated out: hloc pulls torch-GPU + model
-weights that a zero-egress deployment cannot fetch. The ``--matching-method``
-surface matches the reference's, so an hloc binary could slot in where the
-colmap binary does.
+COLMAP's SIFT) is supported via ``--sfm-tool hloc``
+(sdfstudio_tpu/scripts/hloc_sfm.py, reference process_data/hloc_utils.py):
+import-gated, since hloc pulls torch-GPU + model weights a zero-egress
+deployment cannot fetch; without the toolbox the tool prints what to run.
 
 Converters to sdfstudio format live in sdfstudio_tpu/scripts/datasets/.
 """
@@ -37,6 +37,8 @@ import sys
 from pathlib import Path
 
 import numpy as np
+
+from sdfstudio_tpu.scripts import hloc_sfm
 
 
 def run_colmap(
@@ -225,8 +227,20 @@ def entrypoint(argv=None):
         sp.add_argument("--matching-method", default="exhaustive",
                         choices=["exhaustive", "sequential", "vocab_tree"])
         sp.add_argument("--camera-type", default="OPENCV")
+        sp.add_argument("--sfm-tool", default="colmap",
+                        choices=["colmap", "hloc"],
+                        help="SfM backend (reference scripts/process_data.py "
+                             "--sfm-tool); hloc needs the hloc toolbox installed")
+        sp.add_argument("--feature-type", default="superpoint_aachen",
+                        choices=list(hloc_sfm.FEATURE_TYPES),
+                        help="hloc local feature (ignored for colmap)")
+        sp.add_argument("--matcher-type", default="superglue",
+                        choices=list(hloc_sfm.MATCHER_TYPES),
+                        help="hloc matcher (ignored for colmap)")
+        sp.add_argument("--num-matched", type=int, default=50,
+                        help="hloc retrieval neighbours per image")
         sp.add_argument("--no-sfm", action="store_true",
-                        help="skip COLMAP even if the binary is present")
+                        help="skip SfM even if the backend is available")
         sp.add_argument("--use-gpu", action="store_true")
         sp.add_argument("--verbose", action="store_true")
     # capture-app importers (no SfM needed — poses come from the app);
@@ -284,22 +298,41 @@ def entrypoint(argv=None):
                 if f.suffix.lower() in (".jpg", ".jpeg", ".png"):
                     shutil.copy(f, imgs / f.name)
 
-    # orchestrate SfM when a colmap binary is available and no sparse
-    # model exists yet (reference process_data.py:733 runs COLMAP itself)
+    # orchestrate SfM when a backend is available and no sparse model
+    # exists yet (reference process_data.py:733 runs COLMAP/hloc itself)
     has_model = any(
         (out / c).exists() for c in ("colmap/sparse/0", "sparse/0", "sparse")
     )
-    colmap_bin = shutil.which("colmap")
-    if not has_model and colmap_bin and not a.no_sfm:
-        print(f"running COLMAP SfM ({colmap_bin})", flush=True)
-        run_colmap(
-            out,
-            out / "images",
-            camera_model=a.camera_type,
-            matcher=a.matching_method,
-            use_gpu=a.use_gpu,
-            verbose=a.verbose,
-        )
+    if not has_model and not a.no_sfm:
+        if a.sfm_tool == "hloc" and hloc_sfm.hloc_available():
+            print("running hloc SfM", flush=True)
+            hloc_sfm.run_hloc(
+                out / "images",
+                out,
+                camera_model=a.camera_type,
+                matching_method=a.matching_method,
+                feature_type=a.feature_type,
+                matcher_type=a.matcher_type,
+                num_matched=a.num_matched,
+                verbose=a.verbose,
+            )
+        elif a.sfm_tool == "hloc":
+            print(
+                "--sfm-tool hloc requested but the hloc toolbox is not "
+                "installed (https://github.com/cvg/Hierarchical-Localization); "
+                "falling back to the external-command instructions below.",
+                file=sys.stderr,
+            )
+        elif colmap_bin := shutil.which("colmap"):
+            print(f"running COLMAP SfM ({colmap_bin})", flush=True)
+            run_colmap(
+                out,
+                out / "images",
+                camera_model=a.camera_type,
+                matcher=a.matching_method,
+                use_gpu=a.use_gpu,
+                verbose=a.verbose,
+            )
 
     try:
         colmap_to_transforms(out, out / "transforms.json")

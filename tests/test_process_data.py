@@ -96,3 +96,101 @@ def test_images_mode_errors_without_colmap(tmp_path):
     out = tmp_path / "processed"
     with pytest.raises(SystemExit):
         entrypoint(["images", "--data", str(src), "--output-dir", str(out), "--no-sfm"])
+
+
+@pytest.fixture()
+def fake_hloc(tmp_path, monkeypatch):
+    """Inject a recording stand-in for the hloc toolbox + pycolmap.
+
+    The fake mirrors hloc's public pipeline surface (extract_features /
+    pairs_from_exhaustive / pairs_from_retrieval / match_features /
+    reconstruction, each a module with confs + main) so the adapter in
+    sdfstudio_tpu/scripts/hloc_sfm.py is exercised end to end; the fake
+    reconstruction writes a tiny valid text model like the colmap stub."""
+    import types
+
+    calls = []
+
+    def module(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        monkeypatch.setitem(sys.modules, name, m)
+        return m
+
+    def write_model(sfm_dir):
+        sfm_dir = Path(sfm_dir)
+        sfm_dir.mkdir(parents=True, exist_ok=True)
+        (sfm_dir / "cameras.txt").write_text(
+            "# cameras\n1 PINHOLE 64 48 70.0 70.0 32.0 24.0\n")
+        (sfm_dir / "images.txt").write_text(
+            "# images\n1 1 0 0 0 0 0 2 1 frame_0.png\n\n"
+            "2 1 0 0 0 0 0 2 1 frame_1.png\n\n")
+        (sfm_dir / "points3D.txt").write_text("# empty\n")
+
+    extract = module(
+        "hloc.extract_features",
+        confs={"superpoint_aachen": {"model": "sp"}, "netvlad": {"model": "nv"}},
+        main=lambda conf, image_dir, image_list=None, feature_path=None, **kw: (
+            calls.append(("extract", conf["model"], list(image_list or []))),
+            feature_path,
+        )[-1],
+    )
+    match = module(
+        "hloc.match_features",
+        confs={"superglue": {"model": "sg"}},
+        main=lambda conf, pairs, features=None, matches=None: calls.append(
+            ("match", conf["model"])),
+    )
+    pairs_ex = module(
+        "hloc.pairs_from_exhaustive",
+        main=lambda pairs, image_list=None: calls.append(
+            ("pairs_exhaustive", list(image_list or []))),
+    )
+    pairs_re = module(
+        "hloc.pairs_from_retrieval",
+        main=lambda retrieval, pairs, num_matched=0: calls.append(
+            ("pairs_retrieval", num_matched)),
+    )
+    recon = module(
+        "hloc.reconstruction",
+        main=lambda sfm_dir, image_dir, pairs, features, matches,
+        image_list=None, **kw: (calls.append(("reconstruction", dict(kw))),
+                                write_model(sfm_dir)),
+    )
+    module("hloc", extract_features=extract, match_features=match,
+           pairs_from_exhaustive=pairs_ex, pairs_from_retrieval=pairs_re,
+           reconstruction=recon)
+    return calls
+
+
+def test_images_mode_hloc_backend(tmp_path, fake_hloc):
+    src = tmp_path / "capture"
+    src.mkdir()
+    for i in range(2):
+        Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(src / f"frame_{i}.png")
+    out = tmp_path / "processed"
+
+    entrypoint(["images", "--data", str(src), "--output-dir", str(out),
+                "--sfm-tool", "hloc"])
+
+    # hloc pipeline order (reference process_data/hloc_utils.py:46-119)
+    assert [c[0] for c in fake_hloc] == [
+        "extract", "pairs_exhaustive", "match", "reconstruction",
+    ]
+    assert fake_hloc[0][1] == "sp" and fake_hloc[2][1] == "sg"
+    assert fake_hloc[0][2] == ["frame_0.png", "frame_1.png"]
+
+    meta = json.loads((out / "transforms.json").read_text())
+    assert len(meta["frames"]) == 2 and meta["fl_x"] == 70.0
+
+
+def test_hloc_requested_but_missing_prints_instructions(tmp_path, capsys):
+    src = tmp_path / "capture"
+    src.mkdir()
+    Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(src / "frame_0.png")
+    out = tmp_path / "processed"
+    with pytest.raises(SystemExit):
+        entrypoint(["images", "--data", str(src), "--output-dir", str(out),
+                    "--sfm-tool", "hloc"])
+    assert "hloc toolbox is not installed" in capsys.readouterr().err
