@@ -562,7 +562,11 @@ class Trainer:
         window_steps = 0
         steps_per_log = max(cfg.steps_per_log, 1)
         K = cfg.steps_per_call or (1 if jax.default_backend() == "cpu" else 10)
-        K = max(1, min(K, steps_per_log))
+        # NOTE: K may exceed steps_per_log — the crossed() logging below then
+        # simply logs once per K-window (window-amortized timing stays
+        # honest). An earlier min(K, steps_per_log) clamp silently defeated
+        # configs with steps_per_call > 10 (e.g. neus-facto-tpu's verified 25).
+        K = max(1, K)
 
         def crossed(cadence: int, lo: int, hi: int) -> bool:
             """Does (lo, hi] contain a multiple of cadence?"""

@@ -13,6 +13,8 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
+from sdfstudio_tpu.utils import checks
+
 
 def alphas_from_densities(deltas: jnp.ndarray, densities: jnp.ndarray) -> jnp.ndarray:
     """alpha_i = 1 - exp(-delta_i * sigma_i)  (reference rays.py:131-144)."""
@@ -80,6 +82,7 @@ def render_rgb(
     background_rgb: Optional[jnp.ndarray] = None,  # [..., 3] override
 ) -> jnp.ndarray:
     """Composite per-sample colors (reference renderers.py:42-168)."""
+    checks.check_weights_values(weights, rgb, "render_rgb")
     comp = jnp.sum(weights[..., None] * rgb, axis=-2)
     accumulation = jnp.sum(weights, axis=-1, keepdims=True)
     if background_rgb is None:
@@ -104,6 +107,7 @@ def render_depth_expected(
     weights: jnp.ndarray, starts: jnp.ndarray, ends: jnp.ndarray, eps: float = 1e-10
 ) -> jnp.ndarray:
     """Expected (accumulation-normalized) depth (reference renderers.py:226-258)."""
+    checks.check_sample_axis("render_depth_expected", weights=weights, starts=starts, ends=ends)
     steps = (starts + ends) * 0.5
     depth = jnp.sum(weights * steps, axis=-1, keepdims=True)
     depth = depth / (jnp.sum(weights, axis=-1, keepdims=True) + eps)
@@ -112,6 +116,7 @@ def render_depth_expected(
 
 def render_depth_median(weights: jnp.ndarray, starts: jnp.ndarray, ends: jnp.ndarray) -> jnp.ndarray:
     """Median depth: first step where CDF >= 0.5 (reference renderers.py:211-225)."""
+    checks.check_sample_axis("render_depth_median", weights=weights, starts=starts, ends=ends)
     steps = (starts + ends) * 0.5
     cumulative = jnp.cumsum(weights, axis=-1)  # [..., S]
     split = jnp.ones_like(cumulative[..., :1]) * 0.5
@@ -124,10 +129,12 @@ def render_depth_median(weights: jnp.ndarray, starts: jnp.ndarray, ends: jnp.nda
 def render_semantics(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted sum of arbitrary per-sample vectors (renderers.py:284-296);
     also used for normals in surface models (base_surface_model.py:216)."""
+    checks.check_weights_values(weights, values, "render_semantics")
     return jnp.sum(weights[..., None] * values, axis=-2)
 
 
 def render_normals(normals: jnp.ndarray, weights: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
+    checks.check_weights_values(weights, normals, "render_normals")
     out = jnp.sum(weights[..., None] * normals, axis=-2)
     if normalize:
         out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-10)
@@ -136,4 +143,5 @@ def render_normals(normals: jnp.ndarray, weights: jnp.ndarray, normalize: bool =
 
 def render_uncertainty(betas: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """[..., S] betas -> [..., 1] (renderers.py:264-281)."""
+    checks.check_sample_axis("render_uncertainty", weights=weights, betas=betas)
     return jnp.sum(weights * betas, axis=-1, keepdims=True)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from sdfstudio_tpu.core.rays import RayBundle, RaySamples
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.ops.render import weights_and_transmittance_from_densities
 from sdfstudio_tpu.samplers.pdf import merge_ray_samples, pdf_sampler
 from sdfstudio_tpu.samplers.spaced import uniform_sampler
@@ -105,6 +106,7 @@ def error_bounded_sampler(
 
     Returns (ray_samples, eikonal_points [R*10, 3] or None).
     """
+    checks.check_ray_bundle(ray_bundle)
     n_rngs = max_total_iters + 3
     rngs = (
         list(jax.random.split(rng, n_rngs)) if rng is not None else [None] * n_rngs

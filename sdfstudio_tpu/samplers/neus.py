@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sdfstudio_tpu.core.rays import RayBundle, RaySamples
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.ops.density import neus_alpha_fixed_inv_s
 from sdfstudio_tpu.ops.render import weights_from_alphas
 from sdfstudio_tpu.samplers.pdf import merge_ray_samples, pdf_sampler
@@ -36,6 +37,7 @@ def neus_sampler(
 
     ``sdf_fn`` must already stop gradients (the reference evaluates under
     torch.no_grad)."""
+    checks.check_ray_bundle(ray_bundle)
     rngs = (
         list(jax.random.split(rng, num_upsample_steps + 1))
         if rng is not None

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from sdfstudio_tpu.core.rays import RayBundle, RaySamples
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.ops.render import weights_from_densities
 from sdfstudio_tpu.samplers.pdf import pdf_sampler
 from sdfstudio_tpu.samplers.spaced import (
@@ -40,6 +41,7 @@ def proposal_network_sampler(
     """N rounds of density evaluation + PDF resampling
     (reference ray_samplers.py:537-578). Returns
     (final samples, weights_list, ray_samples_list) for the interlevel loss."""
+    checks.check_ray_bundle(ray_bundle)
     n = num_proposal_network_iterations
     assert len(density_fns) >= n
     rngs = list(jax.random.split(rng, n + 1)) if rng is not None else [None] * (n + 1)

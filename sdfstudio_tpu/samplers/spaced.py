@@ -21,6 +21,7 @@ from sdfstudio_tpu.core.rays import (
     RaySamples,
     spacing_fn,
 )
+from sdfstudio_tpu.utils import checks
 
 
 def spaced_sampler(
@@ -32,6 +33,7 @@ def spaced_sampler(
 ) -> RaySamples:
     """Generate stratified samples under a spacing warp
     (reference ray_samplers.py:80-127)."""
+    checks.check_ray_bundle(ray_bundle)
     num_rays = ray_bundle.origins.shape[0]
     bins = jnp.linspace(0.0, 1.0, num_samples + 1)[None, :]  # [1, S+1]
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from sdfstudio_tpu.core.rays import RayBundle, RaySamples
+from sdfstudio_tpu.utils import checks
 from sdfstudio_tpu.ops.render import weights_from_alphas
 from sdfstudio_tpu.samplers.pdf import merge_ray_samples_in_euclidean, pdf_sampler
 from sdfstudio_tpu.samplers.spaced import uniform_sampler
@@ -85,6 +86,7 @@ def unisurf_sampler(
     """UniSurf sampling (reference ray_samplers.py:993-1093). Returns the
     merged samples and the surface points (with validity mask) for the
     smoothness loss."""
+    checks.check_ray_bundle(ray_bundle)
     rngs = list(jax.random.split(rng, 4)) if rng is not None else [None] * 4
 
     ray_samples = uniform_sampler(

@@ -77,6 +77,37 @@ def check_bins_weights(bins, weights, name: str = "pdf_sampler"):
         )
 
 
+def check_weights_values(weights, values, name: str = "renderer"):
+    """Renderers-layer contract: per-sample vectors ``values [..., S, C]``
+    composited by ``weights [..., S]``. A transposed or off-by-one sample
+    axis broadcasts silently under jit (e.g. weights [R, S] vs rgb
+    [R, 1, 3] composites every ray against sample 0)."""
+    if weights is None or values is None or not ENABLED:
+        return
+    if values.ndim != weights.ndim + 1 or values.shape[:-1] != weights.shape:
+        raise ValueError(
+            f"{name}: values must be weights-shape + channel "
+            f"([..., S, C]); got weights {tuple(weights.shape)} vs values "
+            f"{tuple(values.shape)}"
+        )
+
+
+def check_sample_axis(name: str = "renderer", **arrays):
+    """All per-sample scalar arrays ([..., S]) must agree exactly."""
+    if not ENABLED:
+        return
+    items = [(k, v) for k, v in arrays.items() if v is not None]
+    if not items:
+        return
+    ref_name, ref = items[0]
+    for k, v in items[1:]:
+        if tuple(v.shape) != tuple(ref.shape):
+            raise ValueError(
+                f"{name}: {k} {tuple(v.shape)} does not match "
+                f"{ref_name} {tuple(ref.shape)}"
+            )
+
+
 def check_ray_bundle(rb):
     if not ENABLED:
         return

@@ -87,3 +87,32 @@ def test_pdf_bins_weights_contract():
         sample_pdf_bins(bins, jnp.ones((4, 9)), num_samples=4)  # N+1 weights
     with pytest.raises(ValueError, match="bins"):
         sample_pdf_bins(bins[:2], weights, num_samples=4)  # ray-count mismatch
+
+
+def test_renderer_weights_values_contract():
+    """Renderers-layer boundary: sample-axis disagreement fails at trace
+    time instead of silently broadcasting (SURVEY §4)."""
+    from sdfstudio_tpu.ops import render
+
+    weights = jnp.ones((4, 8))
+    rgb = jnp.ones((4, 8, 3))
+    assert render.render_rgb(rgb, weights).shape == (4, 3)
+
+    with pytest.raises(ValueError, match="render_rgb"):
+        render.render_rgb(jnp.ones((4, 1, 3)), weights)  # sample axis 1 != 8
+    with pytest.raises(ValueError, match="render_normals"):
+        render.render_normals(jnp.ones((4, 9, 3)), weights)
+    with pytest.raises(ValueError, match="render_depth_expected"):
+        render.render_depth_expected(weights, jnp.ones((4, 9)), jnp.ones((4, 8)))
+    with pytest.raises(ValueError, match="render_uncertainty"):
+        render.render_uncertainty(jnp.ones((4, 9)), weights)
+
+
+def test_sampler_entries_check_bundles():
+    """Samplers-layer boundary: every sampler entry validates its
+    RayBundle, so direct (non-generate_rays) callers are covered too."""
+    from sdfstudio_tpu.samplers.spaced import uniform_sampler
+
+    rb = _bundle(bad_pixel_area=True)
+    with pytest.raises(ValueError, match="pixel_area"):
+        uniform_sampler(rb, num_samples=8)

@@ -90,6 +90,26 @@ def test_train_loop_uses_scan_windows(sphere_data, tmp_path):
     )
 
 
+def test_scan_window_exceeds_log_cadence(sphere_data, tmp_path, monkeypatch):
+    """steps_per_call > steps_per_log must NOT be clamped down: the loop
+    logs once per K-window instead (a silent min(K, steps_per_log) clamp
+    previously defeated neus-facto-tpu's verified steps_per_call=25)."""
+    trainer = build_trainer(sphere_data, tmp_path / "run", max_iters=10)
+    trainer.config = dataclasses.replace(
+        trainer.config, steps_per_call=5, steps_per_log=2
+    )
+    trainer.setup(jax.random.PRNGKey(0))
+    seen_k = []
+    orig = trainer._train_multi
+    monkeypatch.setattr(
+        trainer, "_train_multi",
+        lambda state, k: seen_k.append(k) or orig(state, k),
+    )
+    state = trainer.train()
+    assert int(state.step) == 10
+    assert seen_k == [5, 5]
+
+
 def test_mono_depth_loss_any_batch_size(sphere_data, tmp_path):
     """Mono-depth SSI loss must handle ray batches not divisible by 32
     (the reference hard-reshapes to (1, 32, -1): base_surface_model.py:433).
