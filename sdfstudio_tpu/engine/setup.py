@@ -64,6 +64,18 @@ def setup_trainer(config: Config, test_mode: bool = False) -> Trainer:
             OptimizerConfig(lr=6e-4, eps=1e-8, weight_decay=1e-2)
         )
 
+    if config.trainer.steps_per_call == 0:
+        # auto K: consult the probe-verified per-method table (engine/safe_k.py)
+        # on TPU backends; unprobed methods keep the trainer's global auto-10
+        import dataclasses
+
+        import jax
+
+        from sdfstudio_tpu.engine import safe_k
+
+        if jax.default_backend() != "cpu" and (k := safe_k.lookup(config.method_name)):
+            config.trainer = dataclasses.replace(config.trainer, steps_per_call=k)
+
     base_dir = config.get_base_dir()
     writer = Writer(
         base_dir,

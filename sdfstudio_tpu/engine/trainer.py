@@ -70,14 +70,14 @@ class TrainerConfig:
     deployments pay a per-dispatch round trip (measured >1s through the axon
     relay — 2000 dispatched steps took >48 min while block_until_ready
     claimed ~1ms/step); scanning K steps per call amortizes it K-fold.
-    0 = auto (10 on TPU backends, 1 on CPU). K>~16 faults this TPU
-    stack's compiler ("TPU device error" on scan-25/100 of the neus-facto
-    step; scan-5/10/16 fine), so auto stays at 10. An in-process startup
-    auto-probe is deliberately NOT done: probing would load extra
+    0 = auto: setup_trainer consults the probe-verified per-method table
+    (engine/safe_k.json) on TPU backends, else 10 on TPU / 1 on CPU.
+    K>~16 faults this TPU stack's compiler on the full neus-facto step
+    ("TPU device error" on scan-25/100; scan-5/10/16 fine). An in-process
+    startup auto-probe is deliberately NOT done: probing would load extra
     executables into the device program cache, which permanently degrades
     every subsequent train step on this deployment (docs/tpu-design.md) —
-    probe offline with scripts/benchmarking/probe_scan_k.py and set this
-    explicitly if a model tolerates a larger K."""
+    probe offline with scripts/benchmarking/probe_scan_k.py --record."""
 
 
 @struct.dataclass

@@ -61,6 +61,10 @@ def main() -> None:
     ap.add_argument("--method", default="neus-facto")
     ap.add_argument("--ks", default="10,16,20,25,32")
     ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--record", action="store_true",
+                    help="write the largest verified K into "
+                         "engine/safe_k.json (consulted by setup_trainer "
+                         "whenever steps_per_call is left at auto)")
     args = ap.parse_args()
 
     best = None
@@ -82,6 +86,11 @@ def main() -> None:
             print(f"K={k}: FAILED — stopping\n{tail}", flush=True)
             break
     print(f"largest safe steps_per_call: {best}", flush=True)
+    if args.record and best is not None:
+        from sdfstudio_tpu.engine import safe_k
+
+        safe_k.record(args.method, best)
+        print(f"recorded {args.method}: {best} -> {safe_k.TABLE_PATH}", flush=True)
 
 
 if __name__ == "__main__":
