@@ -40,6 +40,9 @@ select,button,input{background:#222;color:#ddd;border:1px solid #555;margin:1px}
  <option>marching-cubes</option><option>poisson</option><option>texture</option></select>
  res <input id="eres" type="number" value="256" style="width:50px">
  <button id="exportcmd">command</button>
+ <br><label><input id="cropon" type="checkbox"> crop box</label>
+ min <input id="cmin" value="-1,-1,-1" style="width:90px">
+ max <input id="cmax" value="1,1,1" style="width:90px">
  <div id="ecmd" style="word-break:break-all;color:#8f8;font-size:11px;user-select:all"></div></div>
 <div id="path"><b>camera path</b>
  <button id="addkf">add keyframe</button><button id="clearkf">clear</button>
@@ -153,7 +156,12 @@ document.getElementById('preview').onclick = async () => {
   previewing = false;
 };
 // ---- dataset camera frusta overlay (init_scene analog) ----
-fetch('/scene').then(r=>r.json()).then(d=>{ scene=d; drawOverlay(); }).catch(()=>{});
+fetch('/scene').then(r=>r.json()).then(d=>{ scene=d;
+  if (d.aabb){ // prefill the crop box with the model's scene box
+    document.getElementById('cmin').value = d.aabb[0].map(v=>+v.toFixed(2)).join(',');
+    document.getElementById('cmax').value = d.aabb[1].map(v=>+v.toFixed(2)).join(',');
+  }
+  drawOverlay(); }).catch(()=>{});
 function project(p){ // world point -> overlay pixel (pinhole, focal=0.9*W)
   const a = camAxes();
   const d = [p[0]-a.eye[0], p[1]-a.eye[1], p[2]-a.eye[2]];
@@ -188,7 +196,23 @@ function drawOverlay(){
   ov.fillStyle = '#fa4';
   for (const k of keyframes){ const p = project(k.position);
     if (p) ov.fillRect(p[0]-3, p[1]-3, 6, 6); }
+  // crop-box wireframe (reference viewer crop viewport)
+  if (document.getElementById('cropon').checked){
+    const lo = document.getElementById('cmin').value.split(',').map(Number);
+    const hi = document.getElementById('cmax').value.split(',').map(Number);
+    if (lo.length===3 && hi.length===3 && lo.every(isFinite) && hi.every(isFinite)){
+      const cs = [0,1].flatMap(i=>[0,1].flatMap(j=>[0,1].map(k=>
+        [i?hi[0]:lo[0], j?hi[1]:lo[1], k?hi[2]:lo[2]])));
+      const edges = [[0,1],[2,3],[4,5],[6,7],[0,2],[1,3],[4,6],[5,7],[0,4],[1,5],[2,6],[3,7]];
+      ov.strokeStyle = '#fd4'; ov.beginPath();
+      for (const [a,b] of edges){ const pa = project(cs[a]), pb = project(cs[b]);
+        if (pa && pb){ ov.moveTo(pa[0],pa[1]); ov.lineTo(pb[0],pb[1]); } }
+      ov.stroke();
+    }
+  }
 }
+for (const id of ['cropon','cmin','cmax'])
+  document.getElementById(id).oninput = drawOverlay;
 document.getElementById('frusta').onchange = drawOverlay;
 document.getElementById('pause').onclick = async () => {
   const r = await fetch('/control', {method:'POST', body: JSON.stringify({action:'toggle'})});
@@ -196,9 +220,12 @@ document.getElementById('pause').onclick = async () => {
   document.getElementById('pause').textContent = data.paused ? 'resume training' : 'pause training';
 };
 document.getElementById('exportcmd').onclick = async () => {
-  const r = await fetch('/export_cmd', {method:'POST', body: JSON.stringify({
-    kind: document.getElementById('ekind').value,
-    resolution: +document.getElementById('eres').value})});
+  const body = {kind: document.getElementById('ekind').value,
+                resolution: +document.getElementById('eres').value};
+  if (document.getElementById('cropon').checked)
+    body.crop = {min: document.getElementById('cmin').value.split(',').map(Number),
+                 max: document.getElementById('cmax').value.split(',').map(Number)};
+  const r = await fetch('/export_cmd', {method:'POST', body: JSON.stringify(body)});
   const data = await r.json();
   document.getElementById('ecmd').textContent = data.command;
 };
@@ -495,6 +522,9 @@ def _make_handler(state: ViewerState):
                 # three.js scene with training cameras
                 # (viewer_utils.py:300-420)
                 payload = {"cameras": []}
+                sb = getattr(getattr(state.trainer, "model", None), "scene_box", None)
+                if sb is not None:
+                    payload["aabb"] = np.asarray(sb.aabb).tolist()
                 dm = getattr(state.trainer, "datamanager", None)
                 cams = getattr(dm, "train_cameras", None) if dm else None
                 if cams is not None:
@@ -551,23 +581,31 @@ def _make_handler(state: ViewerState):
                 res = int(req.get("resolution", 256))
                 cfg = Path(state.trainer.base_dir) / "config.yml"
                 out = Path(state.trainer.base_dir) / "exports" / kind
+                # crop box (reference viewer "Crop Viewport" -> export
+                # bounding box, app/.../ExportModal)
+                bbox = ""
+                crop = req.get("crop")
+                if crop:
+                    lo = " ".join(f"{float(v):g}" for v in crop["min"])
+                    hi = " ".join(f"{float(v):g}" for v in crop["max"])
+                    bbox = f" --bounding-box-min {lo} --bounding-box-max {hi}"
                 if kind == "texture":
                     mesh = out.parent / "marching-cubes" / "mc_mesh.ply"
                     cmd = (
                         f"sst-export marching-cubes --load-config {cfg} "
-                        f"--output-dir {mesh.parent} --resolution {res} && "
+                        f"--output-dir {mesh.parent} --resolution {res}{bbox} && "
                         f"sst-texture --load-config {cfg} --input-mesh {mesh} "
                         f"--output-dir {out}"
                     )
                 elif kind == "pointcloud":
                     cmd = (
                         f"sst-export pointcloud --load-config {cfg} "
-                        f"--output-dir {out} --num-points 1000000"
+                        f"--output-dir {out} --num-points 1000000{bbox}"
                     )
                 else:
                     cmd = (
                         f"sst-export {kind} --load-config {cfg} "
-                        f"--output-dir {out} --resolution {res}"
+                        f"--output-dir {out} --resolution {res}{bbox}"
                     )
                 send_json({"command": cmd})
                 return

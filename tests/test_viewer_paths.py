@@ -106,6 +106,14 @@ def test_viewer_control_and_export_endpoints(tmp_path):
 
         pc = post("/export_cmd", {"kind": "pointcloud"})["command"]
         assert "--num-points" in pc
+
+        # crop box -> exporter bounding-box flags (reference ExportModal)
+        cropped = post("/export_cmd", {
+            "kind": "marching-cubes", "resolution": 64,
+            "crop": {"min": [-0.5, -0.5, 0.0], "max": [0.5, 0.5, 1.0]},
+        })["command"]
+        assert "--bounding-box-min -0.5 -0.5 0" in cropped
+        assert "--bounding-box-max 0.5 0.5 1" in cropped
     finally:
         server.shutdown()
 
@@ -193,12 +201,18 @@ def test_scene_endpoint_serves_train_cameras(tmp_path):
         width=64, height=48,
     )
 
+    from sdfstudio_tpu.core.scene_box import SceneBox
+
     class FakeDM:
         train_cameras = cams
+
+    class FakeModel:
+        scene_box = SceneBox()
 
     class FakeTrainer:
         base_dir = tmp_path
         datamanager = FakeDM()
+        model = FakeModel()
 
     state = ViewerState(FakeTrainer())
     server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
@@ -212,5 +226,7 @@ def test_scene_endpoint_serves_train_cameras(tmp_path):
         assert data["cameras"][0]["w"] == 64
         c2w = np.asarray(data["cameras"][1]["c2w"]).reshape(-1, 4)
         assert c2w[2, 3] == 2.0
+        # scene box shipped for the crop-box prefill
+        assert np.asarray(data["aabb"]).shape == (2, 3)
     finally:
         server.shutdown()
