@@ -22,7 +22,11 @@ import optax
 from flax import struct
 
 from sdfstudio_tpu.data.datamanager import VanillaDataManager
-from sdfstudio_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
+from sdfstudio_tpu.engine.optimizers import (
+    OptimizerGroupConfig,
+    build_optimizer,
+    learning_rates_at,
+)
 from sdfstudio_tpu.parallel import mesh as mesh_lib
 from sdfstudio_tpu.utils import profiler
 from sdfstudio_tpu.utils import writer as writer_lib
@@ -616,6 +620,11 @@ class Trainer:
                 num_rays = self._dyn_num_rays or self.datamanager.config.train_num_rays_per_batch
                 self.writer.put_scalar(writer_lib.ITER_TRAIN_TIME, dt, step - 1)
                 self.writer.put_scalar(writer_lib.TRAIN_RAYS_PER_SEC, num_rays / dt, step - 1)
+                # per-group lr telemetry (reference optimizers.py:160) —
+                # schedules are pure functions of step, so this is pure host
+                # math: no device fetch, no program-cache impact
+                for gname, lr in learning_rates_at(self.optimizer_groups, step - 1).items():
+                    self.writer.put_scalar(f"learning_rate/{gname}", lr, step - 1)
                 print(
                     f"step {step}/{max_iters}  rays/s={num_rays / dt:,.0f}"
                     f"  eta={self.writer.eta(step - 1, max_iters)}",

@@ -52,6 +52,10 @@ def main() -> None:
                     help="SDF field encoding_type override (hash | permuto | ...)")
     ap.add_argument("--table-dtype", default=None,
                     help="SDF hash/permuto table dtype (float32 | bfloat16)")
+    ap.add_argument("--trace", type=Path, default=None,
+                    help="capture a jax.profiler device trace of the timed "
+                         "calls into this directory (view with tensorboard "
+                         "--logdir DIR; docs/tpu-design.md profiling protocol)")
     ap.add_argument("--analyze", action="store_true",
                     help="compile-only: print XLA cost analysis (flops, bytes "
                          "accessed) of the 1-step program and dump optimized "
@@ -154,13 +158,20 @@ def main() -> None:
     jax.block_until_ready(trainer.state.params)
     t_compile = time.perf_counter() - t0
 
+    from contextlib import nullcontext
+
+    from sdfstudio_tpu.utils.profiler import jax_trace
+
     t0 = time.perf_counter()
     metrics = None
-    for _ in range(args.calls):
-        trainer.state, metrics = trainer._train_multi(trainer.state, K)
-    last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
-    loss = float(trainer.unpack_metrics(last)["loss"])  # honest readback
+    with jax_trace(str(args.trace)) if args.trace else nullcontext():
+        for _ in range(args.calls):
+            trainer.state, metrics = trainer._train_multi(trainer.state, K)
+        last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+        loss = float(trainer.unpack_metrics(last)["loss"])  # honest readback
     dt = time.perf_counter() - t0
+    if args.trace:
+        print(f"TRACE written to {args.trace}", flush=True)
 
     steps = K * args.calls
     print(
