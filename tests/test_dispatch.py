@@ -108,6 +108,9 @@ def test_scan_window_exceeds_log_cadence(sphere_data, tmp_path, monkeypatch):
     state = trainer.train()
     assert int(state.step) == 10
     assert seen_k == [5, 5]
+    # per-group lr telemetry lands in the writer (reference optimizers.py:160)
+    lr_keys = [k for k in trainer.writer.buffers if k.startswith("learning_rate/")]
+    assert lr_keys, "expected learning_rate/<group> scalars at log steps"
 
 
 def test_mono_depth_loss_any_batch_size(sphere_data, tmp_path):
