@@ -228,8 +228,14 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--arms", default="neus-facto-tpu,neus-facto",
                     help="comma list; preset first finishes the cheap arm early")
-    ap.add_argument("--segment", type=int, default=2500,
-                    help="steps per training segment (checkpoint granularity)")
+    ap.add_argument("--segment", type=int, default=5000,
+                    help="steps per training segment (checkpoint granularity). "
+                         "Each segment pays ~16 min of fixed relay startup "
+                         "(process + jax init + cached-executable load + "
+                         "dataset H2D — measured: a 2500-step control segment "
+                         "took 2783s total vs 1775s in-loop), so larger "
+                         "segments waste less; the stall guard bounds the "
+                         "hang risk a long segment would otherwise carry")
     ap.add_argument("--budget-seconds", type=float, default=None,
                     help="stop launching segments after this much wall time "
                          "(resume later; in-flight segments run to completion)")
