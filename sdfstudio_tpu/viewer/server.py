@@ -249,14 +249,19 @@ async function loop(){
       const r = await fetch('/render', {method:'POST', body: JSON.stringify({
         c2w: c2wFlat(), width: res, height: res,
         output: document.getElementById('output').value})});
-      const blob = await r.blob();
-      const img = await createImageBitmap(blob);
-      ctx.imageSmoothingEnabled = false;
-      ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
-      drawOverlay();
-      document.getElementById('stats').textContent =
-        ' | ' + res + 'px in ' + Math.round(performance.now()-t0) + 'ms';
-      if (wasLow) { lowres = false; dirty = true; }
+      if (!r.ok) { // render failure reported by the server (e.g. OOM)
+        const err = await r.json().catch(()=>({error:'render failed'}));
+        document.getElementById('stats').textContent = ' | ERROR: ' + err.error;
+      } else {
+        const blob = await r.blob();
+        const img = await createImageBitmap(blob);
+        ctx.imageSmoothingEnabled = false;
+        ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+        drawOverlay();
+        document.getElementById('stats').textContent =
+          ' | ' + res + 'px in ' + Math.round(performance.now()-t0) + 'ms';
+        if (wasLow) { lowres = false; dirty = true; }
+      }
     } catch (err) { console.log(err); }
     busy = false;
   }
@@ -624,15 +629,23 @@ def _make_handler(state: ViewerState):
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            img = state.render_pose(
-                req.get("azimuth", 0.0),
-                req.get("elevation", 0.3),
-                req.get("radius", 2.5),
-                int(req.get("width", 128)),
-                int(req.get("height", 128)),
-                req.get("output", "rgb"),
-                c2w=req.get("c2w"),
-            )
+            try:
+                img = state.render_pose(
+                    req.get("azimuth", 0.0),
+                    req.get("elevation", 0.3),
+                    req.get("radius", 2.5),
+                    int(req.get("width", 128)),
+                    int(req.get("height", 128)),
+                    req.get("output", "rgb"),
+                    c2w=req.get("c2w"),
+                )
+            except Exception as e:  # report render failures to the web UI
+                # (reference trainer.py:230-235 catches viewer render OOM)
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)[:500]}).encode())
+                return
             import imageio.v2 as imageio
 
             buf = io.BytesIO()
