@@ -555,15 +555,12 @@ class Trainer:
         assert self.state is not None, "call setup() first"
         cfg = self.config
         max_iters = num_iterations or cfg.max_num_iterations
-        num_rays = self.datamanager.config.train_num_rays_per_batch
 
         # never int(self.state.step): a device->host fetch before the loop
         # poisons the program cache (docs/tpu-design.md)
         start_step = (
             self._host_step if self._host_step is not None else int(self.state.step)
         )
-        window_t0 = time.perf_counter()
-        window_steps = 0
         steps_per_log = max(cfg.steps_per_log, 1)
         K = cfg.steps_per_call or (1 if jax.default_backend() == "cpu" else 10)
         # NOTE: K may exceed steps_per_log — the crossed() logging below then
@@ -577,7 +574,61 @@ class Trainer:
             return cadence > 0 and hi // cadence > lo // cadence
 
         history = []  # (step, device metrics vec); fetched ONCE after the loop
-        step = start_step
+        reached = self._train_loop(start_step, max_iters, K, steps_per_log, crossed, history)
+        if reached < max_iters:
+            # graceful ctrl+c (reference train.py:207-215): flush + checkpoint
+            # at the last completed step below, so the run resumes instead of
+            # losing the segment
+            max_iters = reached
+
+        self._host_step = max_iters
+        # training is done; from here on device<->host traffic is fine
+        # (segment end / end of run — the hot loop no longer needs the cache)
+        last_metrics = self.flush_metric_history(history, max_iters)
+        if self._dyn_num_rays is not None and cfg.defer_heavy_ops:
+            # relay deployments adapt the bucket at segment boundaries only
+            self._update_dynamic_batch(last_metrics.get("num_samples_per_batch", 0.0))
+            if mesh_lib.is_main_process():
+                self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+                (self.ckpt_dir / "dynamic_batch.txt").write_text(str(self._dyn_num_rays))
+        if cfg.defer_heavy_ops or getattr(self, "_interrupted_step", None) is not None:
+            t0 = time.perf_counter()
+            self.save_checkpoint(max_iters)
+            print(f"[trainer] checkpoint saved in {time.perf_counter() - t0:.1f}s", flush=True)
+            if cfg.defer_heavy_ops and cfg.steps_per_eval_image > 0 and self.datamanager.num_eval_images:
+                t0 = time.perf_counter()
+                idx = int(np.random.RandomState(max_iters).randint(self.datamanager.num_eval_images))
+                m = self.eval_image_metrics(idx)
+                print(f"[trainer] segment-end eval rendered in {time.perf_counter() - t0:.1f}s", flush=True)
+                self.writer.put_dict(m, max_iters, prefix="eval/")
+                print(
+                    f"[segment-end eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}",
+                    flush=True,
+                )
+        return self.state
+
+    def _train_loop(self, step, max_iters, K, steps_per_log, crossed, history):
+        """The hot dispatch loop, separated so a ctrl+c can be converted
+        into "stop at the last completed window" — train() then flushes and
+        checkpoints at the returned step instead of losing the segment.
+        Dispatched-but-unsynced windows count as completed: the device will
+        finish them, and the checkpoint fetch waits for it."""
+        try:
+            return self._train_windows(
+                step, max_iters, K, steps_per_log, crossed, history,
+                time.perf_counter(), 0,
+            )
+        except KeyboardInterrupt:
+            reached = getattr(self, "_loop_step", step)
+            print(f"[trainer] interrupted at step {reached}; "
+                  f"checkpointing before exit", flush=True)
+            self._interrupted_step = reached
+            return reached
+
+    def _train_windows(self, step, max_iters, K, steps_per_log, crossed,
+                       history, window_t0, window_steps):
+        cfg = self.config
+        self._loop_step = step
         while step < max_iters:
             # the ONLY device interaction per window is the train program
             # itself: any other program — and any device->host fetch — evicts
@@ -593,6 +644,7 @@ class Trainer:
                 self.state, mstack = self._train_multi(self.state, k)
                 last_vec = jax.tree_util.tree_map(lambda x: x[-1], mstack)
             lo, step = step, step + k
+            self._loop_step = step
             window_steps += k
             # subset image cache rotation (CacheDataloader semantics): a pure
             # H2D swap with constant shapes — no recompile, no D2H fetch
@@ -645,31 +697,7 @@ class Trainer:
             ):
                 self.save_checkpoint(step)
 
-        self._host_step = max_iters
-        # training is done; from here on device<->host traffic is fine
-        # (segment end / end of run — the hot loop no longer needs the cache)
-        last_metrics = self.flush_metric_history(history, max_iters)
-        if self._dyn_num_rays is not None and cfg.defer_heavy_ops:
-            # relay deployments adapt the bucket at segment boundaries only
-            self._update_dynamic_batch(last_metrics.get("num_samples_per_batch", 0.0))
-            if mesh_lib.is_main_process():
-                self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-                (self.ckpt_dir / "dynamic_batch.txt").write_text(str(self._dyn_num_rays))
-        if cfg.defer_heavy_ops:
-            t0 = time.perf_counter()
-            self.save_checkpoint(max_iters)
-            print(f"[trainer] checkpoint saved in {time.perf_counter() - t0:.1f}s", flush=True)
-            if cfg.steps_per_eval_image > 0 and self.datamanager.num_eval_images:
-                t0 = time.perf_counter()
-                idx = int(np.random.RandomState(max_iters).randint(self.datamanager.num_eval_images))
-                m = self.eval_image_metrics(idx)
-                print(f"[trainer] segment-end eval rendered in {time.perf_counter() - t0:.1f}s", flush=True)
-                self.writer.put_dict(m, max_iters, prefix="eval/")
-                print(
-                    f"[segment-end eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}",
-                    flush=True,
-                )
-        return self.state
+        return max_iters
 
     # ------------------------------------------------------------------
     @profiler.time_function

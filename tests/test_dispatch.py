@@ -113,7 +113,29 @@ def test_scan_window_exceeds_log_cadence(sphere_data, tmp_path, monkeypatch):
     assert lr_keys, "expected learning_rate/<group> scalars at log steps"
 
 
-def test_mono_depth_loss_any_batch_size(sphere_data, tmp_path):
+def test_interrupt_checkpoints_at_completed_step(sphere_data, tmp_path, monkeypatch):
+    """ctrl+c mid-run flushes + checkpoints at the last completed window
+    instead of losing the segment (reference train.py:207-215 clean-exit
+    semantics)."""
+    trainer = build_trainer(sphere_data, tmp_path / "run", max_iters=20)
+    trainer.config = dataclasses.replace(
+        trainer.config, steps_per_call=5, steps_per_log=5, steps_per_save=1000
+    )
+    trainer.setup(jax.random.PRNGKey(0))
+    orig = trainer._train_multi
+    calls = []
+
+    def interrupt_on_second(state, k):
+        if calls:
+            raise KeyboardInterrupt
+        calls.append(k)
+        return orig(state, k)
+
+    monkeypatch.setattr(trainer, "_train_multi", interrupt_on_second)
+    trainer.train()
+    # one 5-step window completed before the interrupt
+    ckpts = sorted(p.name for p in (tmp_path / "run" / "sdfstudio_models").glob("step-*"))
+    assert ckpts == ["step-000000005"]
     """Mono-depth SSI loss must handle ray batches not divisible by 32
     (the reference hard-reshapes to (1, 32, -1): base_surface_model.py:433).
     Padded-mask grouping must (a) run at R=100, (b) equal the unpadded loss
