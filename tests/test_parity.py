@@ -76,10 +76,12 @@ def test_stall_guard_kills_silent_child(tmp_path, monkeypatch):
     assert rc == -9
     assert time.time() - t0 < 30
 
-    # a healthy child that keeps printing runs to completion
+    # a healthy child that keeps printing runs to completion. Generous
+    # timeout: on a loaded 1-CPU box interpreter startup alone can exceed
+    # a small stall window (observed flake at 2.0s under 3 parallel jobs)
     rc = parity.run_with_stall_guard(
         [__import__("sys").executable, "-c",
          "import time\nfor i in range(3): print(i, flush=True); time.sleep(0.5)"],
-        env=None, stall_timeout=2.0,
+        env=None, stall_timeout=30.0,
     )
     assert rc == 0
