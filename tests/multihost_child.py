@@ -30,7 +30,9 @@ if nproc > 1:
 assert jax.process_count() == nproc, (jax.process_count(), nproc)
 assert len(jax.devices()) == nproc * devs, (len(jax.devices()), nproc, devs)
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)  # tests/ for the fixture helpers
+sys.path.insert(0, os.path.dirname(_here))  # repo root for sdfstudio_tpu
 from test_train_e2e import build_trainer  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
