@@ -132,7 +132,7 @@ def run_with_stall_guard(args, env, stall_timeout: float = STALL_TIMEOUT) -> int
     return proc.returncode
 
 
-def train_segment(method: str, end: int, resume: bool) -> None:
+def train_segment(method: str, end: int, resume: bool, holdout: int = 0) -> None:
     args = [
         sys.executable, "-m", "sdfstudio_tpu.scripts.train", method,
         "--experiment-name", "parity",
@@ -152,6 +152,15 @@ def train_segment(method: str, end: int, resume: bool) -> None:
             "--trainer.load-step", str(latest_step(method)),
         ]
     args += ["sdfstudio-data", "--data", str(DATA_DIR)]
+    if holdout > 0:
+        # true held-out eval: every holdout'th view goes to the val split
+        # and is EXCLUDED from training — both arms share the reduced train
+        # set, so the comparison stays fair and PSNR is genuinely held-out
+        # (the reference default trains on all views and evals train views)
+        args += [
+            "--skip-every-for-val-split", str(holdout),
+            "--train-val-no-overlap", "True",
+        ]
     env = dict(os.environ, SST_SEGMENT_CHILD="1")
     t0 = time.time()
     ret = run_with_stall_guard(args, env)
@@ -206,7 +215,7 @@ def evaluate_arm(method: str) -> dict:
     return rec
 
 
-def write_attestation(preset: dict, control: dict) -> None:
+def write_attestation(preset: dict, control: dict, holdout: int = 0) -> None:
     ok_psnr = preset["psnr"] >= control["psnr"] - PSNR_TOL_DB
     ok_chamfer = preset["chamfer_l1"] <= control["chamfer_l1"] * (1 + CHAMFER_TOL)
     rec = {
@@ -218,6 +227,9 @@ def write_attestation(preset: dict, control: dict) -> None:
         "control": {"psnr": control["psnr"], "chamfer_l1": control["chamfer_l1"],
                     "iters": control["iters"]},
         "scene": "dtu_like",
+        # 0 = reference-default split (train-view PSNR); N = every Nth view
+        # held out of training for both arms
+        "holdout": holdout,
         "criteria": {"psnr_tol_db": PSNR_TOL_DB, "chamfer_tol": CHAMFER_TOL},
     }
     ATTESTATION.write_text(json.dumps(rec, indent=2))
@@ -240,6 +252,12 @@ def main() -> None:
                     help="stop launching segments after this much wall time "
                          "(resume later; in-flight segments run to completion)")
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="every Nth view becomes a held-out eval view "
+                         "excluded from training (both arms; 0 = reference "
+                         "default: train on all views, eval train views). "
+                         "Must be chosen BEFORE step 0 of a protocol run — "
+                         "changing it mid-run silently changes the train set")
     args = ap.parse_args()
     arms = args.arms.split(",")
     t_start = time.time()
@@ -252,7 +270,8 @@ def main() -> None:
                 print(f"[parity] budget exhausted at {method} step {start}; "
                       f"re-run to resume", flush=True)
                 return
-            train_segment(method, min(start + args.segment, args.iters), resume=start > 0)
+            train_segment(method, min(start + args.segment, args.iters),
+                          resume=start > 0, holdout=args.holdout)
         results[method] = evaluate_arm(method)
 
     if len(arms) == 2 and all(m in results for m in arms):
@@ -265,7 +284,7 @@ def main() -> None:
             )
         control = "neus-facto"
         preset = next(m for m in arms if m != control)
-        write_attestation(results[preset], results[control])
+        write_attestation(results[preset], results[control], holdout=args.holdout)
 
 
 if __name__ == "__main__":

@@ -35,12 +35,13 @@ def test_attestation_pass_and_fail(tmp_path, monkeypatch):
 
     good = {"method": "neus-facto-tpu", "psnr": 29.8, "chamfer_l1": 0.0105,
             "iters": 20000}
-    parity.write_attestation(good, control)
+    parity.write_attestation(good, control, holdout=8)
     rec = json.loads(parity.ATTESTATION.read_text())
     assert rec["pass"] and rec["method"] == "neus-facto-tpu"
     # the attestation records the step each arm was ACTUALLY trained to
     assert rec["preset"]["iters"] == 20000
     assert rec["control"]["iters"] == 20000
+    assert rec["holdout"] == 8  # split provenance recorded
 
     # 0.5 dB below control -> fail even with better chamfer
     bad = {"method": "neus-facto-tpu", "psnr": 29.5, "chamfer_l1": 0.008,
