@@ -55,6 +55,9 @@ def chamfer_l1_to_sphere(verts: np.ndarray, radius: float, center=None) -> dict:
 
 
 def main() -> None:
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--load-dir", type=Path, required=True)
     ap.add_argument("--method", default="neus-facto")

@@ -190,14 +190,18 @@ def evaluate_arm(method: str) -> dict:
         check=True, cwd=REPO,
     )
     psnr = json.loads(psnr_json.read_text())["results"]
+    geo_args = [
+        sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
+        "--load-dir", str(ckpt_dir(method)),
+        "--method", method,
+        "--data", str(DATA_DIR),
+        "--gt", "dtu-like",
+        "--output-mesh", str(base / "mesh.ply"),
+    ]
+    if os.environ.get("SST_PARITY_GEO_RES"):  # smoke tests shrink the MC grid
+        geo_args += ["--resolution", os.environ["SST_PARITY_GEO_RES"]]
     geo = subprocess.run(
-        [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
-         "--load-dir", str(ckpt_dir(method)),
-         "--method", method,
-         "--data", str(DATA_DIR),
-         "--gt", "dtu-like",
-         "--output-mesh", str(base / "mesh.ply")],
-        check=True, cwd=REPO, capture_output=True, text=True,
+        geo_args, check=True, cwd=REPO, capture_output=True, text=True,
     )
     m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
     if m is None:

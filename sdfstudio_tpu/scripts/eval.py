@@ -40,6 +40,9 @@ def main(load_config: Path, output_path: Path):
 
 
 def entrypoint():
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--load-config", type=Path, required=True)
     p.add_argument("--output-path", type=Path, default=Path("output.json"))

@@ -200,7 +200,10 @@ SEGMENT_ENV = "SST_SEGMENT_CHILD"
 
 
 def _tpu_backend_expected() -> bool:
-    plat = os.environ.get("JAX_PLATFORMS", "")
+    # SST_JAX_PLATFORM (utils/platform.py) outranks JAX_PLATFORMS: the
+    # deployment's sitecustomize force-exports JAX_PLATFORMS=axon, so the
+    # standard variable can't express "this child must stay on CPU"
+    plat = os.environ.get("SST_JAX_PLATFORM") or os.environ.get("JAX_PLATFORMS", "")
     return plat not in ("", "cpu")
 
 
@@ -242,6 +245,9 @@ def run_segmented(argv, config: Config):
 
 
 def entrypoint():
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     argv = sys.argv[1:]
     config = parse_args(argv)
     in_child = os.environ.get(SEGMENT_ENV) == "1"

@@ -1,11 +1,14 @@
-"""Unit tests for the parity-attestation driver's pure logic
+"""Tests for the parity-attestation driver
 (sdfstudio_tpu/scripts/benchmarking/parity.py; protocol in
-docs/parity-protocol.md). The full pipeline (segments, resume, eval) is
-exercised by the CPU smoke drive; these cover the decision logic that
-gates bench.py."""
+docs/parity-protocol.md): fast tests cover the decision logic that gates
+bench.py; the slow e2e smoke drives the FULL pipeline (scene -> segmented
+training of both arms with a resume -> PSNR + Chamfer eval ->
+PARITY.json) on CPU with a tiny scene."""
 import importlib
 import json
 import sys
+
+import pytest
 
 
 def _load_parity(tmp_path, monkeypatch):
@@ -60,6 +63,33 @@ def test_attestation_isolated_from_repo_root(tmp_path, monkeypatch):
     parity = _load_parity(tmp_path, monkeypatch)
     # with SST_PARITY_DIR set, the attestation must NOT target the repo root
     assert parity.ATTESTATION.parent == tmp_path
+
+
+@pytest.mark.slow
+def test_parity_pipeline_e2e_smoke(tmp_path, monkeypatch):
+    """The whole attestation pipeline on CPU: tiny DTU-like scene, both
+    arms trained in 2 segments each (exercising checkpoint resume), PSNR +
+    Chamfer evals, and a structurally complete PARITY.json. The child
+    processes stay off the TPU via SST_JAX_PLATFORM (the deployment's
+    sitecustomize overrides JAX_PLATFORMS, utils/platform.py)."""
+    monkeypatch.setenv("SST_PARITY_DIR", str(tmp_path))
+    monkeypatch.setenv("SST_PARITY_SCENE", "4,48")
+    monkeypatch.setenv("SST_PARITY_RAYS", "64")
+    monkeypatch.setenv("SST_PARITY_GEO_RES", "24")
+    monkeypatch.setenv("SST_JAX_PLATFORM", "cpu")
+    parity = _load_parity(tmp_path, monkeypatch)
+    monkeypatch.setattr(sys, "argv", ["parity", "--iters", "4", "--segment", "2"])
+    parity.main()
+
+    rec = json.loads((tmp_path / "PARITY.json").read_text())
+    assert {"pass", "preset", "control", "criteria", "holdout"} <= set(rec)
+    assert rec["preset"]["iters"] == 4 and rec["control"]["iters"] == 4
+    for arm in ("neus-facto", "neus-facto-tpu"):
+        ckpts = sorted(
+            p.name for p in (tmp_path / "runs" / "parity" / arm / "parity"
+                             / "sdfstudio_models").glob("step-*")
+        )
+        assert "step-000000004" in ckpts, (arm, ckpts)
 
 
 def test_stall_guard_kills_silent_child(tmp_path, monkeypatch):
