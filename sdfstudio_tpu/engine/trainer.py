@@ -541,12 +541,17 @@ class Trainer:
             "ssim": float(ssim_fn(jnp.asarray(rgb), jnp.asarray(gt))),
         }
         # LPIPS only when weights are supplied (SST_LPIPS_WEIGHTS;
-        # reference base_surface_model.py:233-236 — see utils/metrics.py)
+        # reference base_surface_model.py:233-236 — see utils/metrics.py).
+        # Non-canonical weights (make_lpips_weights.py) report as
+        # "lpips_rand", never as "lpips".
+        import os
+
         from sdfstudio_tpu.utils.metrics import lpips as lpips_fn
+        from sdfstudio_tpu.utils.metrics import lpips_metric_name
 
         lp = lpips_fn(jnp.asarray(rgb), jnp.asarray(gt))
         if lp is not None:
-            m["lpips"] = float(lp)
+            m[lpips_metric_name(os.environ["SST_LPIPS_WEIGHTS"])] = float(lp)
         return m
 
     # ------------------------------------------------------------------

@@ -87,6 +87,18 @@ def load_lpips_weights(path):
     return convs, lins
 
 
+def lpips_metric_name(path) -> str:
+    """Metric-column name for a weights file: canonical trained LPIPS
+    weights report as "lpips"; files stamped ``canonical=0`` (e.g. the
+    deterministic random-feature weights from
+    scripts/make_lpips_weights.py) report as "lpips_rand" so the
+    non-canonical metric can never be mistaken for published LPIPS."""
+    data = np.load(path)
+    if "canonical" in data.files and int(np.asarray(data["canonical"])) == 0:
+        return "lpips_rand"
+    return "lpips"
+
+
 def lpips(
     pred: jnp.ndarray,  # [H, W, 3] in [0, 1]
     target: jnp.ndarray,

@@ -49,3 +49,35 @@ def test_lpips_none_without_weights(monkeypatch):
 
     monkeypatch.delenv("SST_LPIPS_WEIGHTS", raising=False)
     assert lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
+
+
+def test_generated_weights_are_noncanonical_and_usable(tmp_path):
+    """make_lpips_weights output: deterministic, loadable, stamped
+    canonical=0 so it reports as lpips_rand, and behaves like a distance."""
+    from sdfstudio_tpu.scripts.make_lpips_weights import make_weights
+    from sdfstudio_tpu.utils.metrics import (
+        load_lpips_weights,
+        lpips,
+        lpips_metric_name,
+    )
+
+    path = tmp_path / "lpips_rand.npz"
+    np.savez(path, **make_weights(seed=0))
+    again = make_weights(seed=0)
+    assert np.array_equal(np.load(path)["conv0_w"], again["conv0_w"])
+    assert lpips_metric_name(path) == "lpips_rand"
+
+    w = load_lpips_weights(path)
+    rng = np.random.RandomState(2)
+    a = rng.rand(32, 32, 3).astype(np.float32)
+    b = rng.rand(32, 32, 3).astype(np.float32)
+    assert float(lpips(a, a, weights=w)) == pytest.approx(0.0, abs=1e-6)
+    assert float(lpips(a, b, weights=w)) > 1e-4
+
+
+def test_canonical_weights_report_as_lpips(tmp_path, weights_npz):
+    """Weight files without the canonical=0 stamp (i.e. real published
+    weights a user supplies) keep the plain lpips column name."""
+    from sdfstudio_tpu.utils.metrics import lpips_metric_name
+
+    assert lpips_metric_name(weights_npz) == "lpips"
