@@ -80,6 +80,10 @@ def export_poisson(args):
 
 
 def entrypoint():
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor SST_JAX_PLATFORM (sitecustomize pins axon)
+
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (

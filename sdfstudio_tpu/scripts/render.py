@@ -101,6 +101,10 @@ def main(
 
 
 def entrypoint():
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor SST_JAX_PLATFORM (sitecustomize pins axon)
+
     p = argparse.ArgumentParser()
     p.add_argument("--load-config", type=Path, required=True)
     p.add_argument("--output-path", type=Path, default=Path("renders/output.mp4"))

@@ -99,6 +99,10 @@ def main(input_mesh: Path, output_path: Path, num_frames: int = 60, fps: int = 2
 
 
 def entrypoint():
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor SST_JAX_PLATFORM (sitecustomize pins axon)
+
     p = argparse.ArgumentParser()
     p.add_argument("--input-mesh", type=Path, required=True)
     p.add_argument("--output-path", type=Path, default=Path("renders/mesh.mp4"))

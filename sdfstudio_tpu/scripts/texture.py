@@ -190,6 +190,10 @@ def export_textured_obj(
 
 
 def entrypoint():
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor SST_JAX_PLATFORM (sitecustomize pins axon)
+
     p = argparse.ArgumentParser()
     p.add_argument("--load-config", type=Path, required=True)
     p.add_argument("--input-mesh", type=Path, required=True)

@@ -27,6 +27,10 @@ def entrypoint(argv=None) -> None:
                     "(CI: proves checkpoint -> viewer render without serving)")
     args = ap.parse_args(argv)
 
+    from sdfstudio_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor SST_JAX_PLATFORM (sitecustomize pins axon)
+
     from sdfstudio_tpu.engine.setup import eval_setup
     from sdfstudio_tpu.viewer.server import ViewerState, setup_viewer
 

@@ -3,11 +3,13 @@
 Functional spec: reference nerfstudio/viewer/* (ZMQ<->WebSocket bridge +
 React/three.js SPA, viewer_utils.py:59-731). Redesigned as a single
 self-contained HTTP server + embedded vanilla-JS orbit viewer (the
-environment has no npm/CDN access for a React bundle): the browser posts an
-orbit camera, the server renders through the trainer's jitted chunked
-render fn against the CURRENT training state and streams PNGs back.
-Progressive resolution mirrors the reference's adaptive-res behavior
-(viewer_utils.py:554).
+environment has no npm/CDN access for a React bundle). Transport is a
+stdlib WebSocket (`/ws`, viewer/ws.py) matching the reference's pushed
+frames (server/server.py:89-231): the browser sends camera poses, the
+server pushes a fast preview, a full-res refine, and unsolicited
+refreshes of the held pose as training progresses; plain HTTP POST
+rendering remains as the fallback transport. Progressive resolution
+mirrors the reference's adaptive-res behavior (viewer_utils.py:554).
 """
 from __future__ import annotations
 
@@ -239,7 +241,41 @@ document.getElementById('exportkf').onclick = async () => {
   const data = await r.json();
   document.getElementById('cmd').textContent = data.command;
 };
+// ---- WebSocket push transport (server renders preview + refine + live
+// training refreshes; falls back to the fetch loop if WS is unavailable)
+let ws = null, wsOk = false, wsMeta = null;
+function wsConnect(){
+  try { ws = new WebSocket((location.protocol==='https:'?'wss://':'ws://')+location.host+'/ws'); }
+  catch (e) { ws = null; return; }
+  ws.binaryType = 'blob';
+  ws.onopen = () => { wsOk = true; dirty = true; };
+  ws.onclose = () => { wsOk = false; };
+  ws.onerror = () => { wsOk = false; try { ws.close(); } catch(e){} };
+  ws.onmessage = async ev => {
+    if (typeof ev.data === 'string'){
+      const d = JSON.parse(ev.data);
+      if (d.error){ document.getElementById('stats').textContent = ' | ERROR: '+d.error; return; }
+      wsMeta = d; return;
+    }
+    const img = await createImageBitmap(ev.data);
+    ctx.imageSmoothingEnabled = false;
+    ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+    drawOverlay();
+    document.getElementById('stats').textContent = ' | ' +
+      (wsMeta ? wsMeta.w+'px' : '') +
+      (wsMeta && wsMeta.step ? ' @ step '+wsMeta.step : '') + ' (ws)';
+  };
+}
+wsConnect();
 async function loop(){
+  if (wsOk) {
+    if (dirty || lowres) {
+      dirty = false; lowres = false;  // server owns preview->refine->refresh
+      ws.send(JSON.stringify({c2w: c2wFlat(), width: 384, height: 384,
+        output: document.getElementById('output').value}));
+    }
+    requestAnimationFrame(loop); return;
+  }
   if ((dirty || lowres) && !busy) {
     busy = true; const wasLow = lowres;
     const res = wasLow ? 96 : 384;
@@ -292,6 +328,16 @@ class ViewerState:
         # the training loop blocks in _update_viewer_state while paused,
         # still servicing renders)
         self.paused = False
+        # host-side training-progress counter for WebSocket push: bumped
+        # every service() call (i.e. every dispatched train window), so WS
+        # connections can refresh the held pose as training improves
+        # WITHOUT any device->host fetch (reading state.step would poison
+        # the relay's program cache — docs/tpu-design.md)
+        self.ticks = 0
+
+    def host_step(self) -> int:
+        """Training step as tracked host-side by the loop (no device fetch)."""
+        return int(getattr(self.trainer, "_loop_step", 0))
 
     # ---------------- HTTP-thread side ----------------
     def render_pose(
@@ -314,6 +360,7 @@ class ViewerState:
         While paused, keeps servicing renders and returns only on resume."""
         import time as _time
 
+        self.ticks += 1
         while True:
             for _ in range(max_requests):
                 if self._queue.empty():
@@ -520,7 +567,110 @@ def _make_handler(state: ViewerState):
         def log_message(self, *args):
             pass
 
+        # ---- WebSocket push transport (reference server/server.py:89-231
+        # pushes frames over a Tornado WS; here: stdlib upgrade-in-place,
+        # viewer/ws.py). The browser sends camera poses; the server pushes
+        # a fast preview, a full-res refine, and unsolicited refreshes of
+        # the held pose as training progresses. ----
+        WS_REFRESH_SECONDS = 2.0  # min gap between training-progress pushes
+
+        def _ws_push(self, sock, req, preview: bool) -> bool:
+            """Render req's pose and push meta+PNG. Returns False when the
+            socket is gone (ends the connection loop); render errors are
+            reported in-band like the POST path does."""
+            from sdfstudio_tpu.viewer import ws
+
+            size = 96 if preview else max(32, int(req.get("width", 384)))
+            try:
+                img = state.render_pose(
+                    req.get("azimuth", 0.0),
+                    req.get("elevation", 0.3),
+                    req.get("radius", 2.5),
+                    size,
+                    size,
+                    req.get("output", "rgb"),
+                    c2w=req.get("c2w"),
+                )
+            except Exception as e:
+                try:
+                    ws.send_frame(
+                        sock, json.dumps({"error": str(e)[:500]}).encode(), ws.OP_TEXT
+                    )
+                    return True
+                except OSError:
+                    return False
+            import imageio.v2 as imageio
+
+            buf = io.BytesIO()
+            imageio.imwrite(buf, img, format="png")
+            meta = {"w": size, "h": size, "step": state.host_step(),
+                    "paused": state.paused}
+            try:
+                ws.send_frame(sock, json.dumps(meta).encode(), ws.OP_TEXT)
+                ws.send_frame(sock, buf.getvalue(), ws.OP_BINARY)
+                return True
+            except OSError:
+                return False
+
+        def _ws_loop(self):
+            import time as _time
+
+            from sdfstudio_tpu.viewer import ws
+
+            sock = self.connection
+            last = None  # newest camera request; older ones coalesce away
+            pending_hi = False
+            shown_tick = -1
+            last_push = 0.0
+            while True:
+                msg, closed = ws.drain_latest_text(sock, first_timeout=0.25)
+                if closed:
+                    return
+                if msg is not None:
+                    try:
+                        last = json.loads(msg)
+                    except ValueError:
+                        continue
+                    if not self._ws_push(sock, last, preview=True):
+                        return
+                    pending_hi = True
+                    shown_tick = state.ticks
+                    last_push = _time.monotonic()
+                    continue
+                if last is None:
+                    continue
+                if pending_hi:
+                    if not self._ws_push(sock, last, preview=False):
+                        return
+                    pending_hi = False
+                    shown_tick = state.ticks
+                    last_push = _time.monotonic()
+                elif (
+                    state.ticks > shown_tick
+                    and _time.monotonic() - last_push >= self.WS_REFRESH_SECONDS
+                ):
+                    # training advanced: refresh the held pose (the
+                    # reference's RenderThread re-render on train ticks)
+                    if not self._ws_push(sock, last, preview=False):
+                        return
+                    shown_tick = state.ticks
+                    last_push = _time.monotonic()
+
         def do_GET(self):
+            if self.path == "/ws":
+                from sdfstudio_tpu.viewer import ws
+
+                key = self.headers.get("Sec-WebSocket-Key")
+                if not key or "websocket" not in self.headers.get("Upgrade", "").lower():
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                self.connection.sendall(ws.handshake_response(key))
+                try:
+                    self._ws_loop()
+                finally:
+                    self.close_connection = True
+                return
             if self.path == "/scene":
                 # dataset camera frusta for the scene overlay — the analog
                 # of the reference's init_scene message that populates the
