@@ -59,9 +59,14 @@ def main() -> None:
 
     apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--load-dir", type=Path, required=True)
+    ap.add_argument("--load-dir", type=Path, default=None)
+    ap.add_argument("--load-config", type=Path, default=None,
+                    help="run's saved config.yml — rebuilds the EXACT trained "
+                    "model (required when the run used CLI overrides over the "
+                    "method defaults, e.g. preset_candidates layouts; "
+                    "--load-dir/--method rebuilds method defaults only)")
     ap.add_argument("--method", default="neus-facto")
-    ap.add_argument("--data", type=Path, required=True)
+    ap.add_argument("--data", type=Path, default=None)
     ap.add_argument("--radius", type=float, default=0.5)
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--bound", type=float, default=1.0)
@@ -82,20 +87,30 @@ def main() -> None:
 
     import jax
 
-    from sdfstudio_tpu.engine.setup import setup_trainer
-    from sdfstudio_tpu.scripts.train import parse_args as parse_train_args
     from sdfstudio_tpu.utils.marching_cubes import get_surface_sliding
 
-    parser_cmd = args.dataparser or (
-        "heritage-data" if args.gt == "heritage-like" else "sdfstudio-data"
-    )
-    config = parse_train_args([args.method, parser_cmd, "--data", str(args.data)])
-    config.output_dir = Path("/tmp/sst_eval_geometry")
-    config.timestamp = "g"
-    config.vis = "none"
-    config.trainer = dataclasses.replace(config.trainer, load_dir=args.load_dir)
-    trainer = setup_trainer(config, test_mode=True)
-    trainer.setup(jax.random.PRNGKey(0))
+    if args.load_config is not None:
+        # rebuild from the run's own saved config: exact trained layout
+        # (reference eval_utils.eval_setup pattern)
+        from sdfstudio_tpu.engine.setup import eval_setup
+
+        _, trainer = eval_setup(args.load_config)
+    else:
+        if args.load_dir is None or args.data is None:
+            raise SystemExit("need --load-config OR (--load-dir and --data)")
+        from sdfstudio_tpu.engine.setup import setup_trainer
+        from sdfstudio_tpu.scripts.train import parse_args as parse_train_args
+
+        parser_cmd = args.dataparser or (
+            "heritage-data" if args.gt == "heritage-like" else "sdfstudio-data"
+        )
+        config = parse_train_args([args.method, parser_cmd, "--data", str(args.data)])
+        config.output_dir = Path("/tmp/sst_eval_geometry")
+        config.timestamp = "g"
+        config.vis = "none"
+        config.trainer = dataclasses.replace(config.trainer, load_dir=args.load_dir)
+        trainer = setup_trainer(config, test_mode=True)
+        trainer.setup(jax.random.PRNGKey(0))
 
     field = trainer.model.field
     sdf_fn = field.sdf_fn(trainer.state.params["field"])
@@ -120,6 +135,8 @@ def main() -> None:
     elif args.gt == "heritage-like":
         from sdfstudio_tpu.data.synthetic_heritage import chamfer_l1_to_gt
 
+        if args.data is None:
+            raise SystemExit("--gt heritage-like needs --data (scene frame)")
         m = chamfer_l1_to_gt(v, args.data)
         gt_note = "(gt=heritage-like, normalized units)"
     else:

@@ -112,22 +112,30 @@ def run_candidate(name: str, iters: int, num_rays: int) -> dict:
             return {"name": name, "status": f"train failed rc={ret}"}
 
     psnr_json = base_dir(name) / "eval_metrics.json"
-    subprocess.run(
-        [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
-         "--load-config", str(base_dir(name) / "config.yml"),
-         "--output-path", str(psnr_json)],
-        check=True, cwd=REPO,
-    )
+    # reuse a finished arm's PSNR eval (each eval is a fresh ~15-min TPU
+    # process on the relay); wall>0 means the arm just trained further
+    if wall > 0 or not psnr_json.exists():
+        subprocess.run(
+            [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
+             "--load-config", str(base_dir(name) / "config.yml"),
+             "--output-path", str(psnr_json)],
+            check=True, cwd=REPO,
+        )
     psnr = json.loads(psnr_json.read_text())["results"]
     geo = subprocess.run(
         [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
-         "--load-dir", str(base_dir(name) / "sdfstudio_models"),
-         "--method", method, "--data", str(DATA_DIR),
+         # --load-config (not --load-dir/--method): candidates train with CLI
+         # overrides over the method defaults, so the model must be rebuilt
+         # from the run's own saved config or the restore shape-mismatches
+         "--load-config", str(base_dir(name) / "config.yml"),
          "--gt", "dtu-like",
          "--output-mesh", str(base_dir(name) / "mesh.ply")],
         cwd=REPO, capture_output=True, text=True,
     )
     m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
+    if m is None:
+        print(f"[candidates] {name}: geometry eval failed:\n"
+              f"{geo.stdout[-1500:]}\n{geo.stderr[-1500:]}", flush=True)
     rec = {
         "name": name,
         "iters": latest_step(name),
@@ -153,8 +161,12 @@ def main() -> None:
     t0 = time.time()
     results = []
     if OUT_JSON.exists():
+        # an entry is reusable only when fully populated — a None chamfer
+        # (e.g. the pre-fix geometry-eval mismatch) must re-run its evals
         results = [r for r in json.loads(OUT_JSON.read_text())
-                   if r.get("name") not in names or r.get("iters", 0) >= args.iters]
+                   if r.get("name") not in names
+                   or (r.get("iters", 0) >= args.iters
+                       and r.get("chamfer_l1") is not None)]
     done = {r["name"] for r in results}
     for name in names:
         if name in done:
