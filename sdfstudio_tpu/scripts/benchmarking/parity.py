@@ -171,6 +171,23 @@ def train_segment(method: str, end: int, resume: bool, holdout: int = 0) -> None
     print(f"[parity] {method}: segment -> {end} done in {time.time() - t0:.0f}s", flush=True)
 
 
+def _eval_env() -> dict:
+    """Environment for eval subprocesses. SST_PARITY_EVAL_PLATFORM (or a
+    `.parity/eval_platform.txt` flag file, read at call time so it can be
+    flipped under an already-running driver) routes evals to the CPU
+    backend — identical math, zero chip time, and no ~16-min relay startup.
+    Both arms are always evaluated by the same driver run, so the backend
+    is consistent across the comparison either way."""
+    env = dict(os.environ)
+    plat = os.environ.get("SST_PARITY_EVAL_PLATFORM")
+    flag = PARITY_DIR / "eval_platform.txt"
+    if not plat and flag.exists():
+        plat = flag.read_text().strip()
+    if plat:
+        env["SST_JAX_PLATFORM"] = plat
+    return env
+
+
 def evaluate_arm(method: str) -> dict:
     """PSNR on the eval split + Chamfer-L1 vs the analytic GT."""
     base = arm_base_dir(method)
@@ -182,12 +199,13 @@ def evaluate_arm(method: str) -> dict:
         if cached.get("iters") == latest_step(method):
             return cached
         out.unlink()
+    eval_env = _eval_env()
     psnr_json = base / "eval_metrics.json"
     subprocess.run(
         [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
          "--load-config", str(base / "config.yml"),
          "--output-path", str(psnr_json)],
-        check=True, cwd=REPO,
+        check=True, cwd=REPO, env=eval_env,
     )
     psnr = json.loads(psnr_json.read_text())["results"]
     geo_args = [
@@ -202,6 +220,7 @@ def evaluate_arm(method: str) -> dict:
         geo_args += ["--resolution", os.environ["SST_PARITY_GEO_RES"]]
     geo = subprocess.run(
         geo_args, check=True, cwd=REPO, capture_output=True, text=True,
+        env=eval_env,
     )
     m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
     if m is None:

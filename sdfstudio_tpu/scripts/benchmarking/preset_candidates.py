@@ -77,7 +77,12 @@ def latest_step(name: str) -> int:
     return max(steps, default=0)
 
 
-def run_candidate(name: str, iters: int, num_rays: int) -> dict:
+def train_candidate(name: str, iters: int, num_rays: int) -> dict:
+    """Train one arm (blocking — owns the TPU while it runs). Returns the
+    partial record; evals are a separate step so they can run on the CPU
+    backend concurrently with the NEXT arm's TPU training (a fresh TPU
+    process costs ~16 min of relay startup; a CPU eval costs zero chip
+    time)."""
     method, extra = CANDIDATES[name]
     rays = num_rays
     extra = list(extra)
@@ -111,40 +116,55 @@ def run_candidate(name: str, iters: int, num_rays: int) -> dict:
         if ret != 0:
             return {"name": name, "status": f"train failed rc={ret}"}
 
-    psnr_json = base_dir(name) / "eval_metrics.json"
-    # reuse a finished arm's PSNR eval (each eval is a fresh ~15-min TPU
-    # process on the relay); wall>0 means the arm just trained further
-    if wall > 0 or not psnr_json.exists():
-        subprocess.run(
-            [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
-             "--load-config", str(base_dir(name) / "config.yml"),
-             "--output-path", str(psnr_json)],
-            check=True, cwd=REPO,
-        )
-    psnr = json.loads(psnr_json.read_text())["results"]
-    geo = subprocess.run(
-        [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
-         # --load-config (not --load-dir/--method): candidates train with CLI
-         # overrides over the method defaults, so the model must be rebuilt
-         # from the run's own saved config or the restore shape-mismatches
-         "--load-config", str(base_dir(name) / "config.yml"),
-         "--gt", "dtu-like",
-         "--output-mesh", str(base_dir(name) / "mesh.ply")],
-        cwd=REPO, capture_output=True, text=True,
-    )
-    m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
-    if m is None:
-        print(f"[candidates] {name}: geometry eval failed:\n"
-              f"{geo.stdout[-1500:]}\n{geo.stderr[-1500:]}", flush=True)
-    rec = {
+    return {
         "name": name,
         "iters": latest_step(name),
         "rays_per_batch": rays,
         "train_wall_s": round(wall, 1),
         "rays_per_s": round(rays * (iters - start) / wall, 1) if wall else None,
-        "psnr": psnr["psnr"],
-        "chamfer_l1": float(m.group(1)) if m else None,
     }
+
+
+def eval_candidate(rec: dict, eval_platform: str | None) -> dict:
+    """PSNR + Chamfer evals for a trained arm. With --eval-platform cpu
+    these run as CPU-backend subprocesses (identical math; hash tables are
+    bf16 on both backends) and cost zero chip time."""
+    name = rec["name"]
+    env = dict(os.environ)
+    if eval_platform:
+        env["SST_JAX_PLATFORM"] = eval_platform
+    psnr_json = base_dir(name) / "eval_metrics.json"
+    # reuse a finished arm's PSNR eval; train_wall_s>0 means the arm just
+    # trained further, so its old eval is stale
+    if rec["train_wall_s"] > 0 or not psnr_json.exists():
+        subprocess.run(
+            [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
+             "--load-config", str(base_dir(name) / "config.yml"),
+             "--output-path", str(psnr_json)],
+            check=True, cwd=REPO, env=env,
+        )
+    psnr = json.loads(psnr_json.read_text())["results"]
+    geo_args = [
+        sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
+        # --load-config (not --load-dir/--method): candidates train with CLI
+        # overrides over the method defaults, so the model must be rebuilt
+        # from the run's own saved config or the restore shape-mismatches
+        "--load-config", str(base_dir(name) / "config.yml"),
+        "--gt", "dtu-like",
+        "--output-mesh", str(base_dir(name) / "mesh.ply"),
+    ]
+    if os.environ.get("SST_PARITY_GEO_RES"):  # smoke tests shrink the MC grid
+        geo_args += ["--resolution", os.environ["SST_PARITY_GEO_RES"]]
+    geo = subprocess.run(
+        geo_args, cwd=REPO, capture_output=True, text=True, env=env,
+    )
+    m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
+    if m is None:
+        print(f"[candidates] {name}: geometry eval failed:\n"
+              f"{geo.stdout[-1500:]}\n{geo.stderr[-1500:]}", flush=True)
+    rec = dict(rec)
+    rec["psnr"] = psnr["psnr"]
+    rec["chamfer_l1"] = float(m.group(1)) if m else None
     print(f"[candidates] {rec}", flush=True)
     return rec
 
@@ -155,6 +175,9 @@ def main() -> None:
     ap.add_argument("--num-rays", type=int, default=2048)
     ap.add_argument("--only", default=None, help="comma list of candidates")
     ap.add_argument("--budget-seconds", type=float, default=None)
+    ap.add_argument("--eval-platform", default=None,
+                    help="JAX platform for eval subprocesses (e.g. 'cpu' to "
+                         "overlap evals with the next arm's TPU training)")
     args = ap.parse_args()
     names = args.only.split(",") if args.only else list(CANDIDATES)
     ensure_scene()
@@ -168,6 +191,13 @@ def main() -> None:
                    or (r.get("iters", 0) >= args.iters
                        and r.get("chamfer_l1") is not None)]
     done = {r["name"] for r in results}
+    from concurrent.futures import ThreadPoolExecutor
+
+    # evals overlap the next arm's TPU training when --eval-platform cpu;
+    # without it they serialize as before (the pool is still used, but each
+    # future is awaited implicitly by the TPU being busy anyway)
+    pool = ThreadPoolExecutor(max_workers=2 if args.eval_platform else 1)
+    futures = []
     for name in names:
         if name in done:
             continue
@@ -175,9 +205,21 @@ def main() -> None:
             print(f"[candidates] budget exhausted before {name}; re-run to resume",
                   flush=True)
             break
-        results.append(run_candidate(name, args.iters, args.num_rays))
+        rec = train_candidate(name, args.iters, args.num_rays)
+        if "status" in rec:  # train failed — record as-is, nothing to eval
+            futures.append((name, None, rec))
+            continue
+        futures.append((name, pool.submit(eval_candidate, rec, args.eval_platform), None))
+    for name, fut, rec in futures:
+        if fut is not None:
+            try:
+                rec = fut.result()
+            except Exception as e:  # keep the shootout running past one bad arm
+                rec = {"name": name, "status": f"eval failed: {e}"}
+        results.append(rec)
         OUT_JSON.parent.mkdir(parents=True, exist_ok=True)
         OUT_JSON.write_text(json.dumps(results, indent=1))
+    pool.shutdown(wait=True)
     print(json.dumps(results, indent=1), flush=True)
 
 

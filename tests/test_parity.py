@@ -116,3 +116,19 @@ def test_stall_guard_kills_silent_child(tmp_path, monkeypatch):
         env=None, stall_timeout=30.0,
     )
     assert rc == 0
+
+
+def test_eval_env_platform_flag(tmp_path, monkeypatch):
+    """_eval_env routes eval subprocesses to an alternate JAX platform via
+    env var or the late-binding flag file (flippable under a live driver)."""
+    parity = _load_parity(tmp_path, monkeypatch)
+    monkeypatch.delenv("SST_PARITY_EVAL_PLATFORM", raising=False)
+    assert "SST_JAX_PLATFORM" not in parity._eval_env() or \
+        parity._eval_env()["SST_JAX_PLATFORM"] == ""
+
+    (tmp_path / "eval_platform.txt").write_text("cpu\n")
+    assert parity._eval_env()["SST_JAX_PLATFORM"] == "cpu"
+
+    # explicit env var outranks the flag file
+    monkeypatch.setenv("SST_PARITY_EVAL_PLATFORM", "tpu")
+    assert parity._eval_env()["SST_JAX_PLATFORM"] == "tpu"
