@@ -193,9 +193,10 @@ def main() -> None:
     done = {r["name"] for r in results}
     from concurrent.futures import ThreadPoolExecutor
 
-    # evals overlap the next arm's TPU training when --eval-platform cpu;
-    # without it they serialize as before (the pool is still used, but each
-    # future is awaited implicitly by the TPU being busy anyway)
+    # evals overlap the next arm's TPU training ONLY when they run on a
+    # different backend (--eval-platform cpu); same-backend evals must
+    # serialize, or the eval process and the next arm's training contend on
+    # the one chip and corrupt the arms' wall-clock rays/s measurements
     pool = ThreadPoolExecutor(max_workers=2 if args.eval_platform else 1)
     futures = []
     for name in names:
@@ -209,7 +210,13 @@ def main() -> None:
         if "status" in rec:  # train failed — record as-is, nothing to eval
             futures.append((name, None, rec))
             continue
-        futures.append((name, pool.submit(eval_candidate, rec, args.eval_platform), None))
+        fut = pool.submit(eval_candidate, rec, args.eval_platform)
+        if not args.eval_platform:
+            try:
+                fut.result()  # serialize on the shared backend
+            except Exception:
+                pass  # recorded when collected below (result is cached)
+        futures.append((name, fut, None))
     for name, fut, rec in futures:
         if fut is not None:
             try:
