@@ -82,6 +82,22 @@ class TrainerConfig:
     executables into the device program cache, which permanently degrades
     every subsequent train step on this deployment (docs/tpu-design.md) —
     probe offline with scripts/benchmarking/probe_scan_k.py --record."""
+    final_eval_gt: str = ""
+    """When set ('dtu-like' | 'sphere' | 'heritage-like'), run the full
+    protocol evaluation (eval-split PSNR/SSIM + marching-cubes Chamfer-L1
+    vs the analytic GT) IN-PROCESS after the final checkpoint of a run that
+    reached max_num_iterations. On the relay deployment this replaces
+    separate eval subprocesses, each of which pays ~16 min of fixed startup
+    plus per-chunk program-cache degradation (engine/final_eval.py)."""
+    final_eval_output: str = ""
+    """JSON path for the final-eval record (parity-metrics schema)."""
+    final_eval_resolution: int = 256
+    """Marching-cubes grid resolution for the final geometry eval."""
+    final_eval_mesh: str = ""
+    """Optional .ply path for the extracted final-eval mesh."""
+    final_eval_max_images: int = 0
+    """0 = evaluate every eval-split image; N = an even spread of N images
+    (shootout arms use a subset — relative comparison, cheaper)."""
 
 
 @struct.dataclass
@@ -596,7 +612,10 @@ class Trainer:
             if mesh_lib.is_main_process():
                 self.ckpt_dir.mkdir(parents=True, exist_ok=True)
                 (self.ckpt_dir / "dynamic_batch.txt").write_text(str(self._dyn_num_rays))
-        if cfg.defer_heavy_ops or getattr(self, "_interrupted_step", None) is not None:
+        trained_any = max_iters > start_step
+        if trained_any and (
+            cfg.defer_heavy_ops or getattr(self, "_interrupted_step", None) is not None
+        ):
             t0 = time.perf_counter()
             self.save_checkpoint(max_iters)
             print(f"[trainer] checkpoint saved in {time.perf_counter() - t0:.1f}s", flush=True)
@@ -610,6 +629,22 @@ class Trainer:
                     f"[segment-end eval image {idx}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}",
                     flush=True,
                 )
+        if (
+            cfg.final_eval_gt
+            and cfg.final_eval_output
+            and max_iters >= cfg.max_num_iterations
+            and getattr(self, "_interrupted_step", None) is None
+            and mesh_lib.is_main_process()
+        ):
+            # full protocol eval in THIS process: training is over, so the
+            # program-cache degradation extra executables cause no longer
+            # matters, and a separate eval process's ~16-min relay startup
+            # is saved (engine/final_eval.py)
+            from sdfstudio_tpu.engine.final_eval import run_final_eval
+
+            # base_dir layout is output/experiment/<method>/timestamp
+            # (Config.get_base_dir), so the method name is the parent dir
+            run_final_eval(self, method_name=self.base_dir.parent.name, reached_step=max_iters)
         return self.state
 
     def _train_loop(self, step, max_iters, K, steps_per_log, crossed, history):

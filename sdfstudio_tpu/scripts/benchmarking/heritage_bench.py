@@ -20,8 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
-import subprocess
 import sys
 import time
 from pathlib import Path
@@ -60,7 +58,8 @@ def latest_step(method: str) -> int:
     return max(steps, default=0)
 
 
-def train_segment(method: str, end: int, resume: bool) -> None:
+def train_segment(method: str, end: int, resume: bool,
+                  final_eval: bool = False) -> None:
     args = [
         sys.executable, "-m", "sdfstudio_tpu.scripts.train", method,
         "--experiment-name", "heritage",
@@ -72,6 +71,17 @@ def train_segment(method: str, end: int, resume: bool) -> None:
         "--trainer.steps-per-eval-image", "0",
         "--datamanager.train-num-rays-per-batch", str(NUM_RAYS),
     ]
+    if final_eval:
+        # in-process protocol eval (engine/final_eval.py) — same relay
+        # rationale as parity.py's final segment
+        base = base_dir(method)
+        args += [
+            "--trainer.final-eval-gt", "heritage-like",
+            "--trainer.final-eval-output", str(base / "heritage_metrics.json"),
+            "--trainer.final-eval-mesh", str(base / "mesh.ply"),
+            "--trainer.final-eval-resolution",
+            os.environ.get("SST_PARITY_GEO_RES", "256"),
+        ]
     if resume:
         args += [
             "--trainer.load-dir", str(ckpt_dir(method)),
@@ -92,42 +102,22 @@ def train_segment(method: str, end: int, resume: bool) -> None:
 
 
 def evaluate(method: str) -> dict:
+    """Metrics come from the trainer's in-process final eval — written by
+    the last training segment, or by a zero-step eval segment here for a
+    checkpoint trained before the final-eval path existed."""
     base = base_dir(method)
     out = base / "heritage_metrics.json"
     if out.exists():
         cached = json.loads(out.read_text())
-        if cached.get("iters") == latest_step(method):
+        if cached.get("iters") == latest_step(method) and cached.get("chamfer_l1") is not None:
+            (PARITY_DIR / "heritage_metrics.json").write_text(json.dumps(cached, indent=2))
             return cached
         out.unlink()
-    psnr_json = base / "eval_metrics.json"
-    subprocess.run(
-        [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
-         "--load-config", str(base / "config.yml"),
-         "--output-path", str(psnr_json)],
-        check=True, cwd=REPO,
-    )
-    psnr = json.loads(psnr_json.read_text())["results"]
-    geo = subprocess.run(
-        [sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
-         "--load-dir", str(ckpt_dir(method)),
-         "--method", method,
-         "--data", str(DATA_DIR),
-         "--gt", "heritage-like",
-         "--output-mesh", str(base / "mesh.ply")],
-        check=True, cwd=REPO, capture_output=True, text=True,
-    )
-    m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
-    if m is None:
-        print(geo.stdout[-2000:], geo.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError(f"[heritage] geometry eval for {method} produced no chamfer")
-    rec = {
-        "method": method,
-        "scene": "heritage_like",
-        "iters": latest_step(method),
-        "psnr": psnr["psnr"],
-        "ssim": psnr.get("ssim"),
-        "chamfer_l1": float(m.group(1)),
-    }
+    train_segment(method, latest_step(method), resume=True, final_eval=True)
+    if not out.exists():
+        raise RuntimeError(f"[heritage] eval segment for {method} wrote no metrics")
+    rec = json.loads(out.read_text())
+    rec["scene"] = "heritage_like"
     out.write_text(json.dumps(rec, indent=2))
     (PARITY_DIR / "heritage_metrics.json").write_text(json.dumps(rec, indent=2))
     print(f"[heritage] {method}: {rec}", flush=True)
@@ -148,8 +138,9 @@ def main() -> None:
             print(f"[heritage] budget exhausted at step {start}; re-run to resume",
                   flush=True)
             return
-        train_segment(args.method, min(start + args.segment, args.iters),
-                      resume=start > 0)
+        end = min(start + args.segment, args.iters)
+        train_segment(args.method, end, resume=start > 0,
+                      final_eval=end >= args.iters)
     evaluate(args.method)
 
 

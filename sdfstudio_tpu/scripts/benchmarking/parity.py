@@ -32,7 +32,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -132,7 +131,8 @@ def run_with_stall_guard(args, env, stall_timeout: float = STALL_TIMEOUT) -> int
     return proc.returncode
 
 
-def train_segment(method: str, end: int, resume: bool, holdout: int = 0) -> None:
+def train_segment(method: str, end: int, resume: bool, holdout: int = 0,
+                  final_eval: bool = False, env: dict | None = None) -> None:
     args = [
         sys.executable, "-m", "sdfstudio_tpu.scripts.train", method,
         "--experiment-name", "parity",
@@ -144,6 +144,19 @@ def train_segment(method: str, end: int, resume: bool, holdout: int = 0) -> None
         "--trainer.steps-per-eval-image", "0",
         "--datamanager.train-num-rays-per-batch", str(NUM_RAYS),
     ]
+    if final_eval:
+        # the protocol evaluation runs INSIDE the training process right
+        # after the final checkpoint (engine/final_eval.py) — separate eval
+        # subprocesses pay ~16 min of relay startup EACH plus per-chunk
+        # program-cache degradation (docs/tpu-design.md)
+        base = arm_base_dir(method)
+        args += [
+            "--trainer.final-eval-gt", "dtu-like",
+            "--trainer.final-eval-output", str(base / "parity_metrics.json"),
+            "--trainer.final-eval-mesh", str(base / "mesh.ply"),
+            "--trainer.final-eval-resolution",
+            os.environ.get("SST_PARITY_GEO_RES", "256"),
+        ]
     if resume:
         # pin the step.txt-verified step: a partial dir left by a mid-save
         # crash must never be the one the trainer resumes from
@@ -161,7 +174,7 @@ def train_segment(method: str, end: int, resume: bool, holdout: int = 0) -> None
             "--skip-every-for-val-split", str(holdout),
             "--train-val-no-overlap", "True",
         ]
-    env = dict(os.environ, SST_SEGMENT_CHILD="1")
+    env = dict(env if env is not None else os.environ, SST_SEGMENT_CHILD="1")
     t0 = time.time()
     ret = run_with_stall_guard(args, env)
     if ret == -9:
@@ -188,52 +201,32 @@ def _eval_env() -> dict:
     return env
 
 
-def evaluate_arm(method: str) -> dict:
-    """PSNR on the eval split + Chamfer-L1 vs the analytic GT."""
+def evaluate_arm(method: str, holdout: int = 0) -> dict:
+    """PSNR on the eval split + Chamfer-L1 vs the analytic GT.
+
+    The metrics are produced by the TRAINER's in-process final eval
+    (engine/final_eval.py) — either written by the arm's last training
+    segment, or, for an arm that finished training in an earlier round,
+    by a zero-step "eval segment" launched here (the trainer loads the
+    checkpoint, trains nothing, and runs the protocol eval in-process).
+    One process per arm instead of two eval subprocesses."""
     base = arm_base_dir(method)
     out = base / "parity_metrics.json"
     if out.exists():
         cached = json.loads(out.read_text())
         # stale-cache guard: the arm may have trained further since the
         # metrics were computed (e.g. a shorter earlier run) — re-evaluate
-        if cached.get("iters") == latest_step(method):
+        if cached.get("iters") == latest_step(method) and cached.get("chamfer_l1") is not None:
             return cached
         out.unlink()
-    eval_env = _eval_env()
-    psnr_json = base / "eval_metrics.json"
-    subprocess.run(
-        [sys.executable, "-m", "sdfstudio_tpu.scripts.eval",
-         "--load-config", str(base / "config.yml"),
-         "--output-path", str(psnr_json)],
-        check=True, cwd=REPO, env=eval_env,
-    )
-    psnr = json.loads(psnr_json.read_text())["results"]
-    geo_args = [
-        sys.executable, "-m", "sdfstudio_tpu.scripts.benchmarking.eval_geometry",
-        "--load-dir", str(ckpt_dir(method)),
-        "--method", method,
-        "--data", str(DATA_DIR),
-        "--gt", "dtu-like",
-        "--output-mesh", str(base / "mesh.ply"),
-    ]
-    if os.environ.get("SST_PARITY_GEO_RES"):  # smoke tests shrink the MC grid
-        geo_args += ["--resolution", os.environ["SST_PARITY_GEO_RES"]]
-    geo = subprocess.run(
-        geo_args, check=True, cwd=REPO, capture_output=True, text=True,
-        env=eval_env,
-    )
-    m = re.search(r"chamfer_l1=([0-9.]+)", geo.stdout)
-    if m is None:
-        print(geo.stdout[-2000:], geo.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError(f"[parity] geometry eval for {method} produced no chamfer")
-    rec = {
-        "method": method,
-        "iters": latest_step(method),
-        "psnr": psnr["psnr"],
-        "ssim": psnr.get("ssim"),
-        "chamfer_l1": float(m.group(1)),
-    }
-    out.write_text(json.dumps(rec, indent=2))
+    # a zero-step eval segment may still be routed to another backend
+    # (SST_PARITY_EVAL_PLATFORM / the flag file): it trains nothing, so the
+    # backend only affects eval math (identical across arms either way)
+    train_segment(method, latest_step(method), resume=True, holdout=holdout,
+                  final_eval=True, env=_eval_env())
+    if not out.exists():
+        raise RuntimeError(f"[parity] eval segment for {method} wrote no metrics")
+    rec = json.loads(out.read_text())
     print(f"[parity] {method}: {rec}", flush=True)
     return rec
 
@@ -293,9 +286,10 @@ def main() -> None:
                 print(f"[parity] budget exhausted at {method} step {start}; "
                       f"re-run to resume", flush=True)
                 return
-            train_segment(method, min(start + args.segment, args.iters),
-                          resume=start > 0, holdout=args.holdout)
-        results[method] = evaluate_arm(method)
+            end = min(start + args.segment, args.iters)
+            train_segment(method, end, resume=start > 0, holdout=args.holdout,
+                          final_eval=end >= args.iters)
+        results[method] = evaluate_arm(method, holdout=args.holdout)
 
     if len(arms) == 2 and all(m in results for m in arms):
         # the control must literally be the reference-hyperparameter arm;

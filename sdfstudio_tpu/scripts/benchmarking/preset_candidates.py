@@ -54,6 +54,13 @@ CANDIDATES: dict[str, tuple[str, list[str]]] = {
     "l2xf8": ("neus-facto-tpu", ["--model.sdf-field.num-levels", "2",
               "--model.sdf-field.hash-features-per-level", "8"]),
     "permuto": ("neus-facto-tpu", ["--model.sdf-field.encoding-type", "permuto"]),
+    "permuto_l4xf4": ("neus-facto-tpu", [
+        # the feasibility memo's best structural point (docs/tpu-design.md
+        # "90k feasibility"): 4 simplex corners x 4 levels x F4 = 16
+        # gather rows/query vs the committed preset's 64
+        "--model.sdf-field.encoding-type", "permuto",
+        "--model.sdf-field.num-levels", "4",
+        "--model.sdf-field.hash-features-per-level", "4"]),
     "rays4096": ("neus-facto-tpu", ["--datamanager.train-num-rays-per-batch", "4096"]),
     "neusacc": ("neus-acc", []),
 }
@@ -102,6 +109,17 @@ def train_candidate(name: str, iters: int, num_rays: int) -> dict:
             "--trainer.defer-heavy-ops", "True",
             "--trainer.steps-per-eval-image", "0",
             "--datamanager.train-num-rays-per-batch", str(rays),
+            # protocol eval runs in-process after the last checkpoint
+            # (engine/final_eval.py) — a separate eval process pays ~16 min
+            # of relay startup. Shootout arms compare RELATIVELY, so a
+            # reduced eval (8-image PSNR spread + 192^3 marching cubes) is
+            # consistent and much cheaper than the 20k protocol's full eval
+            "--trainer.final-eval-gt", "dtu-like",
+            "--trainer.final-eval-output", str(base_dir(name) / "parity_metrics.json"),
+            "--trainer.final-eval-resolution",
+            os.environ.get("SST_PARITY_GEO_RES", "192"),
+            "--trainer.final-eval-max-images",
+            os.environ.get("SST_SHOOTOUT_EVAL_IMAGES", "8"),
             *extra,
         ]
         if start > 0:
@@ -116,13 +134,27 @@ def train_candidate(name: str, iters: int, num_rays: int) -> dict:
         if ret != 0:
             return {"name": name, "status": f"train failed rc={ret}"}
 
-    return {
+    rec = {
         "name": name,
         "iters": latest_step(name),
         "rays_per_batch": rays,
         "train_wall_s": round(wall, 1),
         "rays_per_s": round(rays * (iters - start) / wall, 1) if wall else None,
     }
+    metrics_json = base_dir(name) / "parity_metrics.json"
+    if metrics_json.exists():
+        m = json.loads(metrics_json.read_text())
+        if m.get("iters", 0) >= iters:
+            # wall-clock rays/s should not charge the in-process eval time
+            if wall and m.get("eval_seconds"):
+                train_s = wall - m["eval_seconds"]
+                if train_s > 0:
+                    rec["train_wall_s"] = round(train_s, 1)
+                    rec["rays_per_s"] = round(rays * (iters - start) / train_s, 1)
+            rec["psnr"] = m.get("psnr")
+            rec["chamfer_l1"] = m.get("chamfer_l1")
+            rec["ssim"] = m.get("ssim")
+    return rec
 
 
 def eval_candidate(rec: dict, eval_platform: str | None) -> dict:
@@ -208,6 +240,12 @@ def main() -> None:
             break
         rec = train_candidate(name, args.iters, args.num_rays)
         if "status" in rec:  # train failed — record as-is, nothing to eval
+            futures.append((name, None, rec))
+            continue
+        if rec.get("chamfer_l1") is not None:
+            # the trainer's in-process final eval already produced the
+            # metrics — no separate eval subprocess needed
+            print(f"[candidates] {rec}", flush=True)
             futures.append((name, None, rec))
             continue
         fut = pool.submit(eval_candidate, rec, args.eval_platform)

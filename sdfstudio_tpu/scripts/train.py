@@ -224,6 +224,17 @@ def run_segmented(argv, config: Config):
     # method-level flags must precede the dataparser subcommand token
     split = next((i for i, tok in enumerate(argv) if tok in DATAPARSERS), len(argv))
     head, tail = list(argv[:split]), list(argv[split:])
+    # final-eval flags belong to the LAST segment only: an intermediate
+    # child's max-num-iterations IS its segment end, so passing them through
+    # would run the full protocol eval at every segment boundary
+    head_mid = [
+        tok
+        for i, tok in enumerate(head)
+        if not (
+            tok.replace("_", "-").startswith("--trainer.final-eval")
+            or (i > 0 and head[i - 1].replace("_", "-").startswith("--trainer.final-eval"))
+        )
+    ]
     start = 0
     while start < total:
         end = min(start + segment, total)
@@ -234,7 +245,8 @@ def run_segmented(argv, config: Config):
         ]
         if start > 0:
             extra += ["--trainer.load-dir", str(ckpt_dir)]
-        args = [sys.executable, "-m", "sdfstudio_tpu.scripts.train"] + head + extra + tail
+        seg_head = head if end >= total else head_mid
+        args = [sys.executable, "-m", "sdfstudio_tpu.scripts.train"] + seg_head + extra + tail
         print(f"[segments] steps {start} -> {end} of {total}", flush=True)
         env = dict(os.environ, **{SEGMENT_ENV: "1"})
         ret = subprocess.run(args, env=env).returncode

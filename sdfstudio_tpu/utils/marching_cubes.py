@@ -163,22 +163,30 @@ def evaluate_sdf_grid(
     bounds_max: np.ndarray,
     chunk: int = 131072,
 ) -> np.ndarray:
-    """Chunked jitted SDF evaluation over a dense grid
-    (reference marching_cubes.py:61-66 evaluates in 100k chunks)."""
-    xs = np.linspace(bounds_min[0], bounds_max[0], resolution, dtype=np.float32)
-    ys = np.linspace(bounds_min[1], bounds_max[1], resolution, dtype=np.float32)
-    zs = np.linspace(bounds_min[2], bounds_max[2], resolution, dtype=np.float32)
-    pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+    """Jitted SDF evaluation over a dense grid in ONE dispatch + ONE fetch
+    (reference marching_cubes.py:61-66 evaluates in 100k chunks; here the
+    chunk loop runs INSIDE the program via lax.map and grid coordinates are
+    generated on device — a Python chunk loop with per-chunk fetches pays
+    ~5.8s/call + ~29s/fetch on the relay deployment, docs/tpu-design.md)."""
+    lo = jnp.asarray(bounds_min, jnp.float32)
+    hi = jnp.asarray(bounds_max, jnp.float32)
+    cell = (hi - lo) / max(resolution - 1, 1)
+    n = resolution**3
+    n_chunks = (n + chunk - 1) // chunk
 
-    jit_fn = jax.jit(sdf_fn)
-    n = pts.shape[0]
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    pts_pad = np.concatenate([pts, np.zeros((n_pad - n, 3), np.float32)])
-    out = np.empty(n_pad, np.float32)
-    for i in range(n_pad // chunk):
-        sl = slice(i * chunk, (i + 1) * chunk)
-        out[sl] = np.asarray(jit_fn(jnp.asarray(pts_pad[sl])))
-    return out[:n].reshape(resolution, resolution, resolution)
+    def body(ci):
+        ids = ci * chunk + jnp.arange(chunk)
+        i = ids // (resolution * resolution)
+        j = (ids // resolution) % resolution
+        k = ids % resolution
+        # tail-padding ids run past the grid; their values are sliced off
+        pts = lo[None] + jnp.stack([i, j, k], axis=-1).astype(jnp.float32) * cell[None]
+        return sdf_fn(pts)
+
+    vals = jax.jit(lambda: jax.lax.map(body, jnp.arange(n_chunks)))()
+    return np.asarray(vals).reshape(-1)[:n].astype(np.float32).reshape(
+        resolution, resolution, resolution
+    )
 
 
 def get_surface_sliding(

@@ -132,3 +132,43 @@ def test_eval_env_platform_flag(tmp_path, monkeypatch):
     # explicit env var outranks the flag file
     monkeypatch.setenv("SST_PARITY_EVAL_PLATFORM", "tpu")
     assert parity._eval_env()["SST_JAX_PLATFORM"] == "tpu"
+
+
+def test_segmented_final_eval_flags_last_segment_only(tmp_path, monkeypatch):
+    """run_segmented must pass --trainer.final-eval-* flags ONLY to the last
+    segment child: an intermediate child's max-num-iterations IS its segment
+    end, so forwarding them would run the full protocol eval at every
+    segment boundary (scripts/train.py run_segmented)."""
+    from sdfstudio_tpu.scripts import train as train_mod
+
+    calls = []
+
+    class _Ret:
+        returncode = 0
+
+    def fake_run(args, env=None, **kw):
+        calls.append(args)
+        return _Ret()
+
+    monkeypatch.setattr(train_mod, "DATAPARSERS", {"sdfstudio-data": (object, object)})
+    monkeypatch.setattr("subprocess.run", fake_run)
+    argv = [
+        "neus-facto-tpu",
+        "--trainer.max-num-iterations", "4",
+        "--trainer.final-eval-gt", "dtu-like",
+        "--trainer.final-eval-output", str(tmp_path / "m.json"),
+        "sdfstudio-data", "--data", str(tmp_path),
+    ]
+    config = train_mod.parse_args(argv)
+    config.output_dir = tmp_path
+    config.trainer = __import__("dataclasses").replace(
+        config.trainer, max_num_iterations=4, steps_per_save=2
+    )
+    train_mod.run_segmented(argv, config)
+
+    assert len(calls) == 2
+    first, last = calls
+    assert not any("final-eval" in t for t in first), first
+    assert "--trainer.final-eval-gt" in last and "dtu-like" in last
+    # flags must splice BEFORE the dataparser subcommand token
+    assert last.index("--trainer.final-eval-gt") < last.index("sdfstudio-data")
