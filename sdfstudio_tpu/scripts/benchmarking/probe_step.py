@@ -52,6 +52,11 @@ def main() -> None:
                     help="SDF field encoding_type override (hash | permuto | ...)")
     ap.add_argument("--table-dtype", default=None,
                     help="SDF hash/permuto table dtype (float32 | bfloat16)")
+    ap.add_argument("--accumulate", type=int, default=1,
+                    help="gradient-accumulation sub-batches per update "
+                         "(effective batch = accumulate x num-rays at the "
+                         "peak memory of ONE sub-batch — the batch-scaling "
+                         "path, docs/tpu-design.md 8192-ray analysis)")
     ap.add_argument("--trace", type=Path, default=None,
                     help="capture a jax.profiler device trace of the timed "
                          "calls into this directory (view with tensorboard "
@@ -111,6 +116,10 @@ def main() -> None:
         )
     if model_over:
         config.model = dataclasses.replace(config.model, **model_over)
+    if args.accumulate > 1:
+        config.trainer = dataclasses.replace(
+            config.trainer, accumulate_grad_steps=args.accumulate
+        )
     config.output_dir = Path(tempfile.gettempdir()) / "sst_probe_out"
     config.timestamp = "probe"
     config.vis = "none"
@@ -174,10 +183,12 @@ def main() -> None:
         print(f"TRACE written to {args.trace}", flush=True)
 
     steps = K * args.calls
+    rays_per_step = args.num_rays * args.accumulate
     print(
-        f"PROBE method={args.method} rays={args.num_rays} step0={args.step0} "
+        f"PROBE method={args.method} rays={args.num_rays} "
+        f"accumulate={args.accumulate} step0={args.step0} "
         f"steps={steps} per_step_ms={dt / steps * 1e3:.0f} "
-        f"rays_per_s={args.num_rays * steps / dt:,.0f} "
+        f"rays_per_s={rays_per_step * steps / dt:,.0f} "
         f"compile_s={t_compile:.1f} loss={loss:.4f}",
         flush=True,
     )
