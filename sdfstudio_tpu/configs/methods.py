@@ -42,6 +42,7 @@ descriptions = {
     "geo-unisurf": "Patch warping from Geo-NeuS with UniSurf.",
     "neus-facto": "NeuS with proposal-network sampling (recommended).",
     "neus-facto-tpu": "neus-facto with a TPU-optimized hash layout (8x4).",
+    "neus-facto-tpu-p4": "neus-facto-tpu with a permutohedral L4xF4 encoding.",
     "neus-facto-bigmlp": "NeuS-facto with a big MLP (heritage-scale).",
     "neus-facto-angelo": "Neuralangelo hash field with neus-facto sampling.",
     "neuralangelo": "Implementation of Neuralangelo.",
@@ -283,6 +284,50 @@ method_configs["neus-facto-tpu"] = _surface_cfg(
     # steps_per_call=25: probe_scan_k verified K=16/25/40 compile+run for
     # this preset (the full neus-facto program faults at K>=16); larger K
     # amortizes the per-dispatch relay round trip further.
+    dict(max_num_iterations=20001, steps_per_eval_image=5000, steps_per_call=25),
+    rays_per_batch=2048,
+)
+
+# --- neus-facto-tpu-p4: the permutohedral step down the access-count lever -
+# Same method again, with the SDF encoding switched to the permutohedral
+# lattice (ops/permuto.py — 4 simplex corners per lookup vs trilinear's 8)
+# at L4xF4: 16 gather rows/query vs the hash preset's 64/32. The round-4
+# shootout measured it at 180 ms/step (11.4k rays/s in-loop at K=25) vs
+# l4xf4's 202 ms; quality is gated by the same parity protocol before this
+# method can carry the PARITY.json attestation (docs/tpu-design.md "90k
+# feasibility" — this is the best structural point designed).
+method_configs["neus-facto-tpu-p4"] = _surface_cfg(
+    "neus-facto-tpu-p4",
+    NeuSFactoModel,
+    NeuSFactoModelConfig(
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=2,
+            num_layers_color=2,
+            hidden_dim=256,
+            bias=0.5,
+            beta_init=0.3,
+            use_appearance_embedding=False,
+            inside_outside=False,
+            encoding_type="permuto",
+            num_levels=4,
+            hash_features_per_level=4,
+            max_res=512,
+        ),
+        proposal_net_args_list=(
+            {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},
+            {"field_type": "mlp", "hidden_dim": 64, "max_res": 256},
+        ),
+        background_model="none",
+        eval_num_rays_per_chunk=1024,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(20000)),
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+    },
+    # K=25 verified on TPU for this exact layout by the round-4 shootout
+    # permuto arm (600 steps at steps_per_call=25 before a driver kill).
     dict(max_num_iterations=20001, steps_per_eval_image=5000, steps_per_call=25),
     rays_per_batch=2048,
 )
