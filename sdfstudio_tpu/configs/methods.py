@@ -247,9 +247,13 @@ method_configs["neus-facto"] = _surface_cfg(
 #   * proposal fields are gather-free PE+MLPs (mip-NeRF-360's original
 #     proposal design; density_field.py field_type="mlp") — the hash
 #     proposal stage was ~35M table rows/step;
-#   * SDF hash grid: 8 levels x 2 features, max_res 512 (DTU-scale pixel
-#     footprint), 2^19 table — halves accesses vs L16 with capacity where
-#     the benchmark resolves it.
+#   * SDF hash grid: 8 levels x 2 features, 2^19 table — halves accesses
+#     vs L16. max_res stays at the control's 2048 (growth 2.0/level, the
+#     iNGP default range): resolution is FREE on TPU — step time is bound
+#     by gather ROW count (levels x corners), not by level resolution —
+#     and the round-4 parity arm measured the cost of capping at 512:
+#     PSNR 33.96 vs the 34.02 bar at 20k (missed by 0.06 dB; Chamfer
+#     passed), i.e. the fine levels carry protocol-relevant detail.
 # Quality parity vs neus-facto is tracked on the synthetic DTU-like scene
 # (PSNR + Chamfer at 20k iters; see BENCH notes / README).
 method_configs["neus-facto-tpu"] = _surface_cfg(
@@ -267,7 +271,7 @@ method_configs["neus-facto-tpu"] = _surface_cfg(
             inside_outside=False,
             num_levels=8,
             hash_features_per_level=2,
-            max_res=512,
+            max_res=2048,
         ),
         proposal_net_args_list=(
             {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},
