@@ -316,7 +316,7 @@ method_configs["neus-facto-tpu-p4"] = _surface_cfg(
             encoding_type="permuto",
             num_levels=4,
             hash_features_per_level=4,
-            max_res=512,
+            max_res=2048,
         ),
         proposal_net_args_list=(
             {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},
