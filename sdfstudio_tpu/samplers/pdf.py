@@ -55,7 +55,13 @@ def sample_pdf_bins(
         u = u_base + 1.0 / (2 * num_bins)
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_bins))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # branchless searchsorted(c, u, side="right") == count(c <= u): the
+    # vmapped binary search lowers to serial while-loops on TPU that the
+    # round-4 device trace measured at ~64 ms/step across the four call
+    # sites (docs/tpu-design.md "Round-4 state"); the comparison-count
+    # form is one fused compare+reduce on the VPU (same trick as
+    # render_depth_median) and returns the identical index, ties included.
+    inds = jnp.sum(cdf[..., :, None] <= u[..., None, :], axis=-2, dtype=jnp.int32)
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)

@@ -168,3 +168,39 @@ def test_proposal_sampler_shapes_and_lists():
     assert samples.starts.shape == (8, 16)
     assert len(wlist) == 2 and len(slist) == 2
     assert wlist[0].shape == (8, 64) and wlist[1].shape == (8, 32)
+
+
+def test_pdf_bins_match_numpy_searchsorted_reference():
+    """The branchless comparison-count index (docs/tpu-design.md round-4:
+    vmapped searchsorted lowered to ~64 ms/step of serial while-loops) must
+    reproduce np.searchsorted(side='right') bit-exactly through the public
+    sample_pdf_bins path, ties included."""
+    from sdfstudio_tpu.samplers.pdf import sample_pdf_bins
+
+    rng = np.random.default_rng(3)
+    R, N, M = 6, 33, 17
+    bins_in = np.sort(rng.random((R, N + 1)), axis=-1)
+    weights = rng.random((R, N)).astype(np.float32)
+    out = np.asarray(
+        sample_pdf_bins(jnp.asarray(bins_in, jnp.float32),
+                        jnp.asarray(weights), M - 1, rng=None,
+                        histogram_padding=0.01, include_original=False)
+    )
+    # numpy reference of the same algorithm with np.searchsorted
+    w = weights + 0.01
+    wsum = w.sum(-1, keepdims=True)
+    pad = np.maximum(1e-5 - wsum, 0.0)
+    w = w + pad / w.shape[-1]
+    cdf = np.minimum(1.0, np.cumsum(w / (wsum + pad), -1))
+    cdf = np.concatenate([np.zeros((R, 1)), cdf], -1)
+    u = np.broadcast_to(np.linspace(0.0, 1.0 - 1.0 / M, M) + 0.5 / M, (R, M))
+    inds = np.stack([np.searchsorted(cdf[r], u[r], side="right") for r in range(R)])
+    below = np.clip(inds - 1, 0, N)
+    above = np.clip(inds, 0, N)
+    c0 = np.take_along_axis(cdf, below, -1)
+    c1 = np.take_along_axis(cdf, above, -1)
+    b0 = np.take_along_axis(bins_in, below, -1)
+    b1 = np.take_along_axis(bins_in, above, -1)
+    t = np.clip(np.nan_to_num((u - c0) / (c1 - c0)), 0.0, 1.0)
+    ref = b0 + t * (b1 - b0)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
