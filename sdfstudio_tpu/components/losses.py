@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sdfstudio_tpu.core.math import searchsorted_right
+
 EPS = 1.0e-7
 
 
@@ -50,9 +52,9 @@ def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
-    idx_lo = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1_starts, t0_starts) - 1
+    idx_lo = searchsorted_right(t1_starts, t0_starts) - 1
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1_ends, t0_ends)
+    idx_hi = searchsorted_right(t1_ends, t0_ends)
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
     cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
@@ -120,7 +122,7 @@ def interlevel_loss_zip(weights_list: Sequence[jnp.ndarray], ray_samples_list,
         y_cum = jnp.concatenate([jnp.zeros_like(y_cum[..., :1]), y_cum], axis=-1)
 
         cp = ray_samples_to_sdist(ray_samples)
-        inds = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(x_r, cp)
+        inds = searchsorted_right(x_r, cp)
         below = jnp.clip(inds - 1, 0, x_r.shape[-1] - 1)
         above = jnp.clip(inds, 0, x_r.shape[-1] - 1)
         x_g0 = jnp.take_along_axis(x_r, below, axis=-1)

@@ -117,3 +117,18 @@ def expected_sin(x_means: jnp.ndarray, x_vars: jnp.ndarray) -> jnp.ndarray:
 def safe_normalize(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     """L2-normalize along the last axis (F.normalize equivalent)."""
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def searchsorted_right(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``searchsorted(a, v, side="right")`` as a comparison count.
+
+    ``a``: [..., N] sorted along the last axis; ``v``: [..., M] queries with
+    matching batch dims. Returns int32 [..., M] insertion indices in [0, N].
+
+    The vmapped ``jnp.searchsorted`` binary search lowers to a serial
+    ``while`` per call site on TPU — the round-4 device trace measured
+    ~64 ms/step across the PDF-sampler and interlevel-loss sites
+    (docs/tpu-design.md "Round-4 state"). ``count(a <= v)`` is the same
+    index (ties included) as one fused compare+reduce on the VPU.
+    """
+    return jnp.sum(a[..., :, None] <= v[..., None, :], axis=-2, dtype=jnp.int32)

@@ -3,8 +3,9 @@
 Functional spec: reference nerfstudio/model_components/ray_samplers.py:250-370
 (PDFSampler) and 758-788 / 1095-1130 (merge_ray_samples, euclidean merge).
 Static shapes throughout: N input samples -> M output samples, known at
-trace time. The searchsorted is vmapped over rays — XLA lowers it to a
-fused binary-search gather on TPU.
+trace time. Inverse-CDF lookups use the branchless comparison-count
+searchsorted (core/math.py::searchsorted_right) — a vmapped binary search
+lowers to a serial while-loop per call site on TPU.
 """
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from sdfstudio_tpu.core.math import searchsorted_right
 from sdfstudio_tpu.core.rays import RayBundle, RaySamples
 
 
@@ -55,13 +57,10 @@ def sample_pdf_bins(
         u = u_base + 1.0 / (2 * num_bins)
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_bins))
 
-    # branchless searchsorted(c, u, side="right") == count(c <= u): the
-    # vmapped binary search lowers to serial while-loops on TPU that the
-    # round-4 device trace measured at ~64 ms/step across the four call
-    # sites (docs/tpu-design.md "Round-4 state"); the comparison-count
-    # form is one fused compare+reduce on the VPU (same trick as
-    # render_depth_median) and returns the identical index, ties included.
-    inds = jnp.sum(cdf[..., :, None] <= u[..., None, :], axis=-2, dtype=jnp.int32)
+    # branchless comparison-count form — a vmapped binary search lowers to
+    # a serial while-loop on TPU (~18 ms/step at this site per the round-4
+    # device trace; see core/math.py::searchsorted_right)
+    inds = searchsorted_right(cdf, u)
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
