@@ -65,14 +65,21 @@ def report(trace_dir: Path, top: int = 30, steps: int | None = None) -> list[tup
         raise SystemExit("no TPU device track in trace (host-only capture?)")
     by_cat = collections.Counter()
     by_name = collections.Counter()
+    by_src = collections.Counter()
     n_ev = 0
     for e in events:
         if e.get("pid") != pid or e.get("ph") != "X":
             continue
         dur = e.get("dur", 0)  # microseconds
         name = e.get("name", "?")
-        by_cat[_category(name)] += dur
+        cat = _category(name)
+        by_cat[cat] += dur
         by_name[name] += dur
+        # leaf ops only for the source rollup: while/jit wrappers nest their
+        # children and would double-count the enclosed time
+        if cat not in ("while", "jit") and not name.startswith("jit"):
+            src = str(e.get("args", {}).get("source", "?"))
+            by_src[src.replace("/root/repo/", "")] += dur
         n_ev += 1
     total = sum(by_cat.values())
     print(f"device events: {n_ev}   device-busy total: {total/1e3:.1f} ms")
@@ -86,6 +93,10 @@ def report(trace_dir: Path, top: int = 30, steps: int | None = None) -> list[tup
     for name, dur in by_name.most_common(top):
         per = f"  {dur/steps/1e3:8.2f} ms/step" if steps else ""
         print(f"  {name[:70]:70s} {dur/1e3:9.1f} ms{per}")
+    print(f"\n== by source line (leaf ops) ==")
+    for src, dur in by_src.most_common(top):
+        per = f"  {dur/steps/1e3:8.2f} ms/step" if steps else ""
+        print(f"  {src[:70]:70s} {dur/1e3:9.1f} ms{per}")
     return rows
 
 
