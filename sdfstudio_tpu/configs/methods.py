@@ -247,13 +247,16 @@ method_configs["neus-facto"] = _surface_cfg(
 #   * proposal fields are gather-free PE+MLPs (mip-NeRF-360's original
 #     proposal design; density_field.py field_type="mlp") — the hash
 #     proposal stage was ~35M table rows/step;
-#   * SDF hash grid: 8 levels x 2 features, 2^19 table — halves accesses
-#     vs L16. max_res stays at the control's 2048 (growth 2.0/level, the
-#     iNGP default range): resolution is FREE on TPU — step time is bound
-#     by gather ROW count (levels x corners), not by level resolution —
-#     and the round-4 parity arm measured the cost of capping at 512:
-#     PSNR 33.96 vs the 34.02 bar at 20k (missed by 0.06 dB; Chamfer
-#     passed), i.e. the fine levels carry protocol-relevant detail.
+#   * SDF hash grid: 8 levels, 2^19 table — halves accesses vs L16.
+#     max_res 512: resolution IS free on TPU speed-wise (step time is
+#     bound by gather ROW count, levels x corners, not level resolution),
+#     but NOT free quality-wise at L8 — the round-4 20k parity arms
+#     measured 512 BETTER than 2048 (PSNR 33.96 vs 33.75; the 2048 arm's
+#     finer top levels alias harder into the same 2^19 rows). The earlier
+#     committed claim that the 512 cap caused the 0.06 dB miss was
+#     refuted by its own retrain; the capacity lever is features-per-row
+#     (F2 -> F4 halves nothing but doubles per-row capacity at an
+#     identical measured gather rate — probe_gather2).
 # Quality parity vs neus-facto is tracked on the synthetic DTU-like scene
 # (PSNR + Chamfer at 20k iters; see BENCH notes / README).
 method_configs["neus-facto-tpu"] = _surface_cfg(
@@ -271,7 +274,7 @@ method_configs["neus-facto-tpu"] = _surface_cfg(
             inside_outside=False,
             num_levels=8,
             hash_features_per_level=2,
-            max_res=2048,
+            max_res=512,
         ),
         proposal_net_args_list=(
             {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},
@@ -316,7 +319,9 @@ method_configs["neus-facto-tpu-p4"] = _surface_cfg(
             encoding_type="permuto",
             num_levels=4,
             hash_features_per_level=4,
-            max_res=2048,
+            # 512 like the hash preset: the 20k arms measured 512 > 2048
+            # at fixed table rows (see the neus-facto-tpu comment above)
+            max_res=512,
         ),
         proposal_net_args_list=(
             {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},

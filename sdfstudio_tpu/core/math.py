@@ -130,5 +130,38 @@ def searchsorted_right(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     ~64 ms/step across the PDF-sampler and interlevel-loss sites
     (docs/tpu-design.md "Round-4 state"). ``count(a <= v)`` is the same
     index (ties included) as one fused compare+reduce on the VPU.
+
+    Size regime: the comparison count materializes an [..., N, M] tensor —
+    O(N*M) per batch element vs binary search's O(M log N). At the sampler
+    scale it lives at (N, M <= a few hundred) that tensor is tiny and the
+    trade wins by ~62 ms/step on TPU; above ``_SEARCHSORTED_DENSE_LIMIT``
+    comparisons per batch element (e.g. MC/visibility-grid paths hitting
+    ~1e5-sized axes) it would silently cost O(N^2) memory, so this falls
+    back to ``jnp.searchsorted`` (identical tie-inclusive indices,
+    property-tested in tests/test_samplers.py).
     """
+    n, m = a.shape[-1], v.shape[-1]
+    if n * m > _SEARCHSORTED_DENSE_LIMIT:
+        return jnp.searchsorted(a, v, side="right", method="sort").astype(jnp.int32) \
+            if a.ndim == 1 else _searchsorted_batched(a, v)
     return jnp.sum(a[..., :, None] <= v[..., None, :], axis=-2, dtype=jnp.int32)
+
+
+# Dense-comparison budget: 512*512 covers every sampler/loss site at 4x the
+# reference's largest bin counts (256 proposal bins) while capping the
+# comparison tensor at ~0.25M elements per batch element.
+_SEARCHSORTED_DENSE_LIMIT = 512 * 512
+
+
+def _searchsorted_batched(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched binary-search fallback for the large-axis regime."""
+    import jax
+
+    fn = lambda a1, v1: jnp.searchsorted(a1, v1, side="right").astype(jnp.int32)
+    for _ in range(a.ndim - 1):
+        fn = jax.vmap(fn)
+    batch = jnp.broadcast_shapes(a.shape[:-1], v.shape[:-1])
+    return fn(
+        jnp.broadcast_to(a, batch + a.shape[-1:]),
+        jnp.broadcast_to(v, batch + v.shape[-1:]),
+    )

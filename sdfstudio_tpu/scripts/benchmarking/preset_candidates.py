@@ -57,10 +57,27 @@ CANDIDATES: dict[str, tuple[str, list[str]]] = {
     "permuto_l4xf4": ("neus-facto-tpu", [
         # the feasibility memo's best structural point (docs/tpu-design.md
         # "90k feasibility"): 4 simplex corners x 4 levels x F4 = 16
-        # gather rows/query vs the committed preset's 64
+        # gather rows/query vs the committed preset's 64.
+        # max-res pinned to 512: the round-4 600-step checkpoint was
+        # trained before the (since data-refuted) max_res-2048 change, and
+        # the 20k arms measured 512 > 2048 (33.96 vs 33.75 PSNR) —
+        # resuming under a different max_res would corrupt the arm
         "--model.sdf-field.encoding-type", "permuto",
         "--model.sdf-field.num-levels", "4",
-        "--model.sdf-field.hash-features-per-level", "4"]),
+        "--model.sdf-field.hash-features-per-level", "4",
+        "--model.sdf-field.max-res", "512"]),
+    # round-5 diagnosis arms (VERDICT r4 task 1): the 20k attestation missed
+    # by 0.06 dB at L8xF2@512 and got WORSE at max_res 2048, so the probes
+    # test (a) doubled per-row capacity at the measured-best resolution and
+    # (b) the protocol's seed-noise floor at 2k before committing 20k.
+    "l8xf4_512": ("neus-facto-tpu", [
+        "--model.sdf-field.hash-features-per-level", "4",
+        "--model.sdf-field.max-res", "512"]),
+    "base512_s43": ("neus-facto-tpu", [
+        # identical layout to the recorded "base" arm (L8xF2@512, seed 42);
+        # only the seed differs -> the PSNR delta IS the run-to-run noise
+        "--seed", "43",
+        "--model.sdf-field.max-res", "512"]),
     "rays4096": ("neus-facto-tpu", ["--datamanager.train-num-rays-per-batch", "4096"]),
     "neusacc": ("neus-acc", []),
 }
@@ -222,7 +239,7 @@ def main() -> None:
                    if r.get("name") not in names
                    or (r.get("iters", 0) >= args.iters
                        and r.get("chamfer_l1") is not None)]
-    done = {r["name"] for r in results}
+    done = {r.get("name") for r in results}
     from concurrent.futures import ThreadPoolExecutor
 
     # evals overlap the next arm's TPU training ONLY when they run on a
