@@ -247,16 +247,23 @@ method_configs["neus-facto"] = _surface_cfg(
 #   * proposal fields are gather-free PE+MLPs (mip-NeRF-360's original
 #     proposal design; density_field.py field_type="mlp") — the hash
 #     proposal stage was ~35M table rows/step;
-#   * SDF hash grid: 8 levels, 2^19 table — halves accesses vs L16.
-#     max_res 512: resolution IS free on TPU speed-wise (step time is
-#     bound by gather ROW count, levels x corners, not level resolution),
-#     but NOT free quality-wise at L8 — the round-4 20k parity arms
-#     measured 512 BETTER than 2048 (PSNR 33.96 vs 33.75; the 2048 arm's
-#     finer top levels alias harder into the same 2^19 rows). The earlier
-#     committed claim that the 512 cap caused the 0.06 dB miss was
-#     refuted by its own retrain; the capacity lever is features-per-row
-#     (F2 -> F4 halves nothing but doubles per-row capacity at an
-#     identical measured gather rate — probe_gather2).
+#   * SDF hash grid: 8 levels x 4 features, 2^19 table — half the rows of
+#     L16xF2 at double the per-row capacity. max_res 512: resolution IS
+#     free on TPU speed-wise (step time is bound by gather ROW count,
+#     levels x corners, not level resolution), but NOT free quality-wise
+#     at L8 — the round-4 20k parity arms measured 512 BETTER than 2048
+#     (PSNR 33.96 vs 33.75; the 2048 arm's finer top levels alias harder
+#     into the same 2^19 rows). The earlier committed claim that the 512
+#     cap caused the 0.06 dB miss was refuted by its own retrain.
+#   * Round-5 capacity decision under the MEASURED seed-noise floor
+#     (preset_candidates base512_s43: seed 42 vs 43 at 2k differ by
+#     0.14 dB PSNR / ~2x Chamfer — individual <0.2 dB levers are not
+#     resolvable by one short arm): stack the near-free capacity levers
+#     instead of probing them one at a time. F2 -> F4 costs the measured
+#     +46 ms/step (scatter-VJP sort payload; 237 vs 191 ms post-
+#     searchsorted-fix) and proposal MLPs go 64 -> 128 hidden (~0.35 ms
+#     of MXU). 2k evidence: l8xf4_512 PSNR 29.90 / Chamfer 0.0453 vs
+#     base512 29.83-29.97 / 0.032-0.059 across seeds.
 # Quality parity vs neus-facto is tracked on the synthetic DTU-like scene
 # (PSNR + Chamfer at 20k iters; see BENCH notes / README).
 method_configs["neus-facto-tpu"] = _surface_cfg(
@@ -273,12 +280,12 @@ method_configs["neus-facto-tpu"] = _surface_cfg(
             use_appearance_embedding=False,
             inside_outside=False,
             num_levels=8,
-            hash_features_per_level=2,
+            hash_features_per_level=4,
             max_res=512,
         ),
         proposal_net_args_list=(
-            {"field_type": "mlp", "hidden_dim": 64, "max_res": 64},
-            {"field_type": "mlp", "hidden_dim": 64, "max_res": 256},
+            {"field_type": "mlp", "hidden_dim": 128, "max_res": 64},
+            {"field_type": "mlp", "hidden_dim": 128, "max_res": 256},
         ),
         background_model="none",
         eval_num_rays_per_chunk=1024,

@@ -73,6 +73,14 @@ CANDIDATES: dict[str, tuple[str, list[str]]] = {
     "l8xf4_512": ("neus-facto-tpu", [
         "--model.sdf-field.hash-features-per-level", "4",
         "--model.sdf-field.max-res", "512"]),
+    "l8xf4_t21_512": ("neus-facto-tpu", [
+        # l8xf4_512 with a 4x table (2^21 rows/level): gather cost is bound
+        # by the 6.3M gathered ROWS per step, not table size (2^14 vs 2^19
+        # measured within 1.5x on issue rate, probe_gather2), so collision
+        # relief at the fine levels is near-free speed-wise
+        "--model.sdf-field.hash-features-per-level", "4",
+        "--model.sdf-field.max-res", "512",
+        "--model.sdf-field.log2-hashmap-size", "21"]),
     "base512_s43": ("neus-facto-tpu", [
         # identical layout to the recorded "base" arm (L8xF2@512, seed 42);
         # only the seed differs -> the PSNR delta IS the run-to-run noise
