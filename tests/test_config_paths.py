@@ -35,3 +35,23 @@ def test_external_paths_stay_absolute():
     cfg = dataclasses.replace(cfg, output_dir=Path("/tmp/somewhere/out"))
     back = _roundtrip(cfg)
     assert Path(back.output_dir) == Path("/tmp/somewhere/out")
+
+
+def test_attested_preset_layout_pinned():
+    """PARITY.json's validity depends on configs/methods.py matching the
+    layout the attestation arm actually trained (round-5 stacked-capacity
+    decision: L8xF4@512 + 128-wide MLP proposals, K=25). Drift here would
+    silently benchmark a different config than the one attested."""
+    cfg = method_configs["neus-facto-tpu"]
+    sdf = cfg.model.sdf_field
+    assert sdf.num_levels == 8
+    assert sdf.hash_features_per_level == 4
+    assert sdf.max_res == 512  # measured better than 2048 at 20k (r4 arms)
+    assert sdf.log2_hashmap_size == 19
+    for args in cfg.model.proposal_net_args_list:
+        assert args["field_type"] == "mlp"
+        assert args["hidden_dim"] == 128
+    assert cfg.trainer.steps_per_call == 25
+    p4 = method_configs["neus-facto-tpu-p4"]
+    assert p4.model.sdf_field.encoding_type == "permuto"
+    assert p4.model.sdf_field.max_res == 512
