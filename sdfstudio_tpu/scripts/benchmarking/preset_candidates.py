@@ -81,6 +81,16 @@ CANDIDATES: dict[str, tuple[str, list[str]]] = {
         "--model.sdf-field.hash-features-per-level", "4",
         "--model.sdf-field.max-res", "512",
         "--model.sdf-field.log2-hashmap-size", "21"]),
+    "permuto_l8f4_512": ("neus-facto-tpu", [
+        # double permuto capacity (8 levels x 4 corners = 32 rows/query,
+        # 32 feature dims — same dims as the attested L8xF4 hash) to test
+        # whether p4's 2k quality gap (29.56/0.0783, chamfer-accuracy
+        # 0.131 = spurious surface) is capacity or lattice-fundamental.
+        # Inherits the round-5 128-wide MLP proposals from the preset.
+        "--model.sdf-field.encoding-type", "permuto",
+        "--model.sdf-field.num-levels", "8",
+        "--model.sdf-field.hash-features-per-level", "4",
+        "--model.sdf-field.max-res", "512"]),
     "base512_s43": ("neus-facto-tpu", [
         # identical layout to the recorded "base" arm (L8xF2@512, seed 42);
         # only the seed differs -> the PSNR delta IS the run-to-run noise
