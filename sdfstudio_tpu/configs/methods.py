@@ -43,6 +43,7 @@ descriptions = {
     "neus-facto": "NeuS with proposal-network sampling (recommended).",
     "neus-facto-tpu": "neus-facto with a TPU-optimized hash layout (8x4).",
     "neus-facto-tpu-p4": "neus-facto-tpu with a permutohedral L4xF4 encoding.",
+    "neus-facto-tpu-p8": "neus-facto-tpu with a permutohedral L8xF4 encoding.",
     "neus-facto-bigmlp": "NeuS-facto with a big MLP (heritage-scale).",
     "neus-facto-angelo": "Neuralangelo hash field with neus-facto sampling.",
     "neuralangelo": "Implementation of Neuralangelo.",
@@ -344,6 +345,49 @@ method_configs["neus-facto-tpu-p4"] = _surface_cfg(
     },
     # K=25 verified on TPU for this exact layout by the round-4 shootout
     # permuto arm (600 steps at steps_per_call=25 before a driver kill).
+    dict(max_num_iterations=20001, steps_per_eval_image=5000, steps_per_call=25),
+    rays_per_batch=2048,
+)
+
+# --- neus-facto-tpu-p8: permutohedral at the attested preset's capacity ----
+# L8xF4 permuto = 32 gather rows/query (8 levels x 4 simplex corners) at
+# the SAME 32 feature dims as the attested hash preset. Round-5 screening
+# (preset_candidates "permuto_l8f4_512"): 168 ms/step (12.2k rays/s
+# in-loop) with the BEST 2k PSNR of any candidate (30.05 vs hash arms'
+# 29.83-29.97) but a persistent chamfer-accuracy excess (~0.128 at L4 and
+# L8 alike — lattice-related spurious surface, not capacity). Registered
+# so the parity protocol can train it by name; it carries the attestation
+# only if it passes the full 20k protocol.
+method_configs["neus-facto-tpu-p8"] = _surface_cfg(
+    "neus-facto-tpu-p8",
+    NeuSFactoModel,
+    NeuSFactoModelConfig(
+        sdf_field=SDFFieldConfig(
+            use_grid_feature=True,
+            num_layers=2,
+            num_layers_color=2,
+            hidden_dim=256,
+            bias=0.5,
+            beta_init=0.3,
+            use_appearance_embedding=False,
+            inside_outside=False,
+            encoding_type="permuto",
+            num_levels=8,
+            hash_features_per_level=4,
+            max_res=512,
+        ),
+        proposal_net_args_list=(
+            {"field_type": "mlp", "hidden_dim": 128, "max_res": 64},
+            {"field_type": "mlp", "hidden_dim": 128, "max_res": 256},
+        ),
+        background_model="none",
+        eval_num_rays_per_chunk=1024,
+    ),
+    {
+        "proposal_networks": OptimizerGroupConfig(_adam(1e-2), _multistep(20000)),
+        "field": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+        "field_background": OptimizerGroupConfig(_adam(5e-4), _neus_sched(500, 0.05, 20000)),
+    },
     dict(max_num_iterations=20001, steps_per_eval_image=5000, steps_per_call=25),
     rays_per_batch=2048,
 )
