@@ -55,3 +55,12 @@ def test_attested_preset_layout_pinned():
     p4 = method_configs["neus-facto-tpu-p4"]
     assert p4.model.sdf_field.encoding_type == "permuto"
     assert p4.model.sdf_field.max_res == 512
+    # the round-5 attestation carrier (PARITY.json method): permuto L8xF4
+    p8 = method_configs["neus-facto-tpu-p8"]
+    assert p8.model.sdf_field.encoding_type == "permuto"
+    assert p8.model.sdf_field.num_levels == 8
+    assert p8.model.sdf_field.hash_features_per_level == 4
+    assert p8.model.sdf_field.max_res == 512
+    for args in p8.model.proposal_net_args_list:
+        assert args["field_type"] == "mlp" and args["hidden_dim"] == 128
+    assert p8.trainer.steps_per_call == 25
