@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import subprocess
 import sys
+from pathlib import Path
 
 FRAGMENTS = ["full", "noprop", "fieldonly", "encmlp", "enc", "mlp"]
 
@@ -163,9 +164,13 @@ def main() -> None:
     for name in args.fragments.split(","):
         print(f"probing fragment={name} K={args.k} ...", flush=True)
         try:
+            # cwd = repo root so the child can import sdfstudio_tpu (running
+            # via `python -m` gives main() an arbitrary cwd)
+            repo = Path(__file__).resolve().parents[3]
             out = subprocess.run(
                 [sys.executable, __file__, "--child", name, str(args.k)],
                 capture_output=True, text=True, timeout=args.timeout,
+                cwd=repo,
             )
             ok = any(l.startswith("FRAG_OK") for l in out.stdout.splitlines())
             results[name] = "ok" if ok else "FAULT"
