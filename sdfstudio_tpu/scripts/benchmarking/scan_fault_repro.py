@@ -63,6 +63,7 @@ def _make_fragment(name: str, k: int):
                 config.model,
                 num_proposal_samples_per_ray=(),
                 proposal_net_args_list=(),
+                num_proposal_iterations=0,
             )
         config.output_dir = Path(tempfile.gettempdir()) / "sst_scan_fault_out"
         config.timestamp = "probe"
@@ -164,13 +165,18 @@ def main() -> None:
     for name in args.fragments.split(","):
         print(f"probing fragment={name} K={args.k} ...", flush=True)
         try:
-            # cwd = repo root so the child can import sdfstudio_tpu (running
-            # via `python -m` gives main() an arbitrary cwd)
+            # the child runs `python <this file>`, whose sys.path[0] is the
+            # benchmarking/ dir — put the repo root on PYTHONPATH so
+            # sdfstudio_tpu imports without an installed package
+            import os
+
             repo = Path(__file__).resolve().parents[3]
+            env = dict(os.environ)
+            env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH', '')}"
             out = subprocess.run(
                 [sys.executable, __file__, "--child", name, str(args.k)],
                 capture_output=True, text=True, timeout=args.timeout,
-                cwd=repo,
+                cwd=repo, env=env,
             )
             ok = any(l.startswith("FRAG_OK") for l in out.stdout.splitlines())
             results[name] = "ok" if ok else "FAULT"
