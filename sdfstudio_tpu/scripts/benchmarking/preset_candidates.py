@@ -96,6 +96,13 @@ CANDIDATES: dict[str, tuple[str, list[str]]] = {
         # only the seed differs -> the PSNR delta IS the run-to-run noise
         "--seed", "43",
         "--model.sdf-field.max-res", "512"]),
+    "p8_s43": ("neus-facto-tpu-p8", [
+        # 20k-scale seed replicate of the attestation carrier (run with
+        # --iters 20000 and SST_SHOOTOUT_EVAL_IMAGES=49
+        # SST_PARITY_GEO_RES=256 for a protocol-grade eval): measures the
+        # run-to-run noise AT the protocol's decision scale, which the 2k
+        # noise pair cannot (docs/parity-protocol.md noise-floor section)
+        "--seed", "43"]),
     "rays4096": ("neus-facto-tpu", ["--datamanager.train-num-rays-per-batch", "4096"]),
     "neusacc": ("neus-acc", []),
 }
