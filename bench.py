@@ -42,7 +42,14 @@ def bench_k() -> int:
 
     cfg = method_configs.get(bench_method())
     k = getattr(cfg.trainer, "steps_per_call", 0) if cfg is not None else 0
-    return k or 10
+    if k:
+        return k
+    # no explicit config value: use the run-verified per-method safe-K
+    # table (engine/safe_k.json; round 5 raised neus-facto to 25 after the
+    # scan-K fault stopped reproducing post-searchsorted-rewrite)
+    from sdfstudio_tpu.engine.safe_k import lookup
+
+    return lookup(bench_method()) or 10
 
 
 def bench_method() -> str:
