@@ -9,7 +9,12 @@ def test_table_ships_verified_entries():
     table = safe_k.load_table()
     # probe-verified deployment facts (commit 1dff0b0 / docs/tpu-design.md)
     assert table["neus-facto-tpu"] == 25
-    assert table["neus-facto"] == 10
+    # round 5: the K>=16 full-step fault stopped reproducing after the
+    # searchsorted comparison-count rewrite (scan_fault_repro --k 25:
+    # full=ok), so neus-facto was raised to 25 on run-verified evidence
+    assert table["neus-facto"] == 25
+    assert table["neus-facto-tpu-p8"] == 25  # verified by the 20k arm
+    assert table["neusW"] == 10  # verified by the 20k heritage run
     assert all(isinstance(v, int) and v >= 1 for v in table.values())
 
 
